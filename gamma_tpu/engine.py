@@ -1,0 +1,599 @@
+"""GammaEngine — the orchestrator.
+
+Reference: search/gamma_engine.{h,cc} (Setup:233-297, CreateTable:524-617,
+AddOrUpdateDocs:676-759, Search:299-469, BuildIndex/Indexing:996-1043,
+Dump:1101-1146, Load:1175-1285, DelDocByQuery:..., GetEngineStatus:1071).
+
+Threading model (vs the reference's 4 threads):
+  * callers ingest on any thread (host locks on the table/store/maps);
+  * device state flushes happen in `flush()` — either called explicitly
+    or by the background indexer thread (the analog of gamma's 1 Hz
+    Indexing loop, gamma_engine.cc:996-1043);
+  * searches run against immutable device-state snapshots, so they never
+    block on, or are corrupted by, concurrent ingest — the functional
+    re-statement of gamma's lock-free realtime design;
+  * a semaphore caps concurrent device search batches
+    (RequestConcurrentController analog, gamma_engine.cc:43-115).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gamma_tpu.api.doc import Doc
+from gamma_tpu.api.request import Request, VectorQuery
+from gamma_tpu.api.response import (Response, ResultItem, SearchResult,
+                                    SearchResultCode)
+from gamma_tpu.api.status import EngineStatus, IndexStatus
+from gamma_tpu.config import (EngineConfig, MetricType, SearchParams,
+                              TableInfo)
+from gamma_tpu.ops import penalty as pen_ops
+from gamma_tpu.ops.distances import BIG
+from gamma_tpu.ops.flat_scan import flat_search
+from gamma_tpu.storage.migrate import MigrateData
+from gamma_tpu.table.range_index import MultiFieldsRangeIndex
+from gamma_tpu.table.table import Table
+from gamma_tpu.utils.bitmap import BitmapManager
+from gamma_tpu.utils.fileio import atomic_write_json, read_json
+from gamma_tpu.utils.perf import PerfTool
+from gamma_tpu.vector.vector_manager import VectorManager
+
+ROW_PAD = 4096           # device row padding quantum for penalty arrays
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class GammaEngine:
+    def __init__(self, config: EngineConfig):
+        self.config = config
+        os.makedirs(config.path, exist_ok=True)
+        self.table: Optional[Table] = None
+        self.table_info: Optional[TableInfo] = None
+        self.vm = VectorManager(config.path)
+        self.range_index: Optional[MultiFieldsRangeIndex] = None
+        self.bitmap = BitmapManager()
+        self.bitmap.open_file(os.path.join(config.path, "bitmap.dat"))
+        self.delete_num = 0
+        self.max_docid = 0
+
+        # device validity (penalty form): grown/updated at flush
+        self._validity = pen_ops.init_validity(ROW_PAD)
+        self._device_rows = ROW_PAD
+        self._live_flushed = 0                # docids < this are marked live
+        self._pending_dead: List[int] = []
+
+        self._ingest_lock = threading.Lock()
+        self._search_sem = threading.Semaphore(config.max_concurrent)
+        self._index_status = IndexStatus.UNINDEXED
+        self._indexer_thread: Optional[threading.Thread] = None
+        self._indexer_stop = threading.Event()
+        self._training = False
+        self.migrate: Optional[MigrateData] = None
+
+    # ================= table lifecycle =================
+
+    def create_table(self, info: TableInfo) -> int:
+        self.table_info = info
+        self.table = Table(info.fields)
+        self.vm.create_vector_table(info)
+        self.range_index = MultiFieldsRangeIndex(self.table)
+        for f in info.fields:
+            if f.is_index:
+                self.range_index.add_field(f.name, f.data_type)
+        # persist schema (reference: TableSchemaIO, gamma_engine.cc:607-612)
+        atomic_write_json(
+            os.path.join(self.config.path, f"{info.name}.schema"),
+            json.loads(info.to_json()))
+        return 0
+
+    def create_table_from_local(self) -> Optional[str]:
+        for fn in os.listdir(self.config.path):
+            if fn.endswith(".schema"):
+                info = TableInfo.from_json(
+                    json.dumps(read_json(os.path.join(self.config.path, fn))))
+                self.create_table(info)
+                return info.name
+        return None
+
+    # ================= ingest =================
+
+    def add_or_update_doc(self, doc: Doc) -> int:
+        return self.add_or_update_docs([doc])[0]
+
+    def add_or_update_docs(self, docs: Sequence[Doc]) -> List[int]:
+        """Upsert a batch (reference: AddOrUpdateDocs gamma_engine.cc:676).
+        Returns one status code per doc (0 = ok)."""
+        codes = []
+        with self._ingest_lock:
+            for doc in docs:
+                codes.append(self._add_or_update_one(doc))
+        # auto-train trigger (reference: :744-749)
+        if (self.table is not None
+                and self.table.n >= self.table_info.indexing_size
+                and self._index_status == IndexStatus.UNINDEXED):
+            self.build_index()
+        return codes
+
+    def _add_or_update_one(self, doc: Doc) -> int:
+        table = self.table
+        existing = table.docid_by_key(doc.key)
+        if existing >= 0 and not self.bitmap.test(existing):
+            return self._update_doc(existing, doc)
+        docid = table.add(doc.key, doc.fields)
+        self.range_index.add_doc(docid, doc.fields)
+        for name, store in self.vm.stores.items():
+            if name not in doc.vectors:
+                return 1   # every vector field is required (as reference)
+            rows = np.asarray(doc.vectors[name], np.float32).reshape(-1,
+                                                                     store.d)
+            self.vm.add_to_store(name, rows, docid)
+        self.max_docid = table.n
+        if self.migrate is not None:
+            self.migrate.add_doc(docid)
+        return 0
+
+    def _update_doc(self, docid: int, doc: Doc) -> int:
+        self.table.update(docid, doc.fields)
+        self.range_index.add_doc(docid, doc.fields)
+        for name, vecs in doc.vectors.items():
+            store = self.vm.stores.get(name)
+            if store is None:
+                continue
+            vid = store.vid_mgr.doc2vid(docid)
+            rows = np.asarray(vecs, np.float32).reshape(-1, store.d)
+            store.update(np.array([vid]), rows[:1])
+            self.vm.queue_update(name, vid, docid)
+        if self.migrate is not None:
+            self.migrate.update_doc(docid)
+        return 0
+
+    def delete(self, key: Any) -> int:
+        with self._ingest_lock:
+            docid = self.table.delete_key(key)
+            if docid < 0 or self.bitmap.test(docid):
+                return -1
+            self.bitmap.set(docid)
+            self.delete_num += 1
+            # immediate device mask if the row is already live on device
+            if docid < self._live_flushed:
+                self._validity = pen_ops.mark_deleted(
+                    self._validity, jnp.asarray([docid], jnp.int32))
+            else:
+                self._pending_dead.append(docid)
+            field_vids = {}
+            for name, store in self.vm.stores.items():
+                vid = store.vid_mgr.doc2vid(docid)
+                field_vids[name] = np.array([vid], dtype=np.int64)
+            self.vm.delete(field_vids)
+            self.range_index.delete_doc(docid)
+            if self.migrate is not None:
+                self.migrate.delete_doc(docid)
+            return 0
+
+    def del_doc_by_query(self, request: Request) -> int:
+        """Delete every doc matching the request's range filters
+        (reference: GammaEngine::DelDocByQuery)."""
+        n = self.table.n
+        mask = np.ones(n, dtype=bool)
+        for rf in request.range_filters:
+            col = self.table.column(rf.field).astype(np.float64)
+            lo_ok = col >= rf.lower_value if rf.include_lower else col > rf.lower_value
+            hi_ok = col <= rf.upper_value if rf.include_upper else col < rf.upper_value
+            mask &= lo_ok & hi_ok
+        deleted = 0
+        for docid in np.flatnonzero(mask):
+            key = self.table.key_by_docid(int(docid))
+            if key is not None and self.delete(key) == 0:
+                deleted += 1
+        return deleted
+
+    # ================= flush / index pump =================
+
+    def flush(self) -> None:
+        """Push pending host state to device: raw vectors, field columns,
+        validity; then pump the realtime indexes.  The engine-level analog
+        of gamma's async hops (AsyncWriter + field worker + indexer)."""
+        with self._ingest_lock:
+            n = self.table.n if self.table else 0
+            rows = max(ROW_PAD, -(-max(n, 1) // ROW_PAD) * ROW_PAD)
+            if rows > self._device_rows:
+                self._validity = jnp.pad(
+                    self._validity, (0, rows - self._device_rows),
+                    constant_values=BIG)
+                self._device_rows = rows
+            if n > self._live_flushed:
+                new = jnp.arange(self._live_flushed, n, dtype=jnp.int32)
+                self._validity = pen_ops.mark_live(self._validity, new)
+                self._live_flushed = n
+            if self._pending_dead:
+                self._validity = pen_ops.mark_deleted(
+                    self._validity,
+                    jnp.asarray(self._pending_dead, jnp.int32))
+                self._pending_dead.clear()
+            for store in self.vm.stores.values():
+                store.flush_device()
+            self.range_index.flush_device(pad_chunk=ROW_PAD)
+        self.vm.add_rt_vecs_to_index()
+        self.vm.compact_if_needed()
+
+    # ================= training =================
+
+    def build_index(self) -> int:
+        """Train all untrained indexes, then pump (reference: BuildIndex
+        spawns the Indexing thread, gamma_engine.cc:996-1043).  Synchronous
+        here; start_background_indexer() gives the 1 Hz loop."""
+        if self._training:
+            return 0
+        self._training = True
+        try:
+            self._index_status = IndexStatus.INDEXING
+            for key, model in self.vm.indexes.items():
+                if model.trained():
+                    continue
+                field = key.rsplit("_", 1)[0]
+                store = self.vm.stores[field]
+                n_train = min(store.n, self.table_info.indexing_size
+                              or store.n)
+                if n_train == 0:
+                    continue
+                model.train(store.header(0, store.n))
+            self.flush()
+            self._index_status = IndexStatus.INDEXED
+        finally:
+            self._training = False
+        return 0
+
+    def start_background_indexer(self, interval_s: float = 1.0) -> None:
+        if self._indexer_thread is not None:
+            return
+        self._indexer_stop.clear()
+
+        def loop():
+            while not self._indexer_stop.wait(interval_s):
+                try:
+                    self.flush()
+                except Exception:    # pragma: no cover - keep loop alive
+                    pass
+
+        self._indexer_thread = threading.Thread(target=loop, daemon=True)
+        self._indexer_thread.start()
+
+    def stop_background_indexer(self) -> None:
+        if self._indexer_thread is not None:
+            self._indexer_stop.set()
+            self._indexer_thread.join()
+            self._indexer_thread = None
+
+    # ================= search =================
+
+    def _compose_penalty(self, request: Request) -> jnp.ndarray:
+        parts = [self._validity]
+        if request.range_filters:
+            for p in self.range_index.range_penalties(request.range_filters):
+                if p.shape[0] == self._device_rows:
+                    parts.append(p)
+                else:   # mirror lag; pad/truncate defensively
+                    parts.append(jnp.pad(
+                        p[: self._device_rows],
+                        (0, max(0, self._device_rows - p.shape[0])),
+                        constant_values=BIG))
+        if request.term_filters:
+            mask = self.range_index.term_mask(request.term_filters,
+                                              self.table.n)
+            m = np.zeros(self._device_rows, dtype=np.uint8)
+            if mask is not None:
+                m[: mask.size] = mask
+            parts.append(pen_ops.mask_penalty(jnp.asarray(m)))
+        return pen_ops.combine(parts)
+
+    def _penalty_for_store(self, pen_doc: jnp.ndarray, store) -> jnp.ndarray:
+        """Row-aligned penalty for flat scans over a store's device mirror."""
+        cap = store.device.shape[0]
+        if store.vid_mgr.multi:
+            v2d = np.full(cap, -1, dtype=np.int32)
+            src = store.vid_mgr._vid2doc
+            m = min(cap, src.size)
+            v2d[:m] = src[:m]
+            return jnp.take(pen_doc, jnp.asarray(v2d), mode="fill",
+                            fill_value=BIG)
+        if cap <= self._device_rows:
+            return pen_doc[:cap]
+        return jnp.pad(pen_doc, (0, cap - self._device_rows),
+                       constant_values=BIG)
+
+    def search(self, request: Request) -> Response:
+        perf = PerfTool(request.online_log_level == "debug")
+        resp = Response()
+        if self.table is None or not request.vec_fields:
+            resp.results.append(SearchResult(
+                result_code=SearchResultCode.SEARCH_ERROR,
+                msg="no table or no vector query"))
+            return resp
+        # validate filter fields up front (reference returns an error for
+        # filters on unindexed fields rather than silently ignoring them)
+        for rf in request.range_filters:
+            if rf.field not in self.range_index.numeric_fields:
+                resp.results.append(SearchResult(
+                    result_code=SearchResultCode.SEARCH_ERROR,
+                    msg=f"range filter on unindexed field {rf.field!r}"))
+                return resp
+        for tf in request.term_filters:
+            if tf.field not in self.range_index.term_fields:
+                resp.results.append(SearchResult(
+                    result_code=SearchResultCode.SEARCH_ERROR,
+                    msg=f"term filter on unindexed field {tf.field!r}"))
+                return resp
+        with self._search_sem:     # admission control
+            sp = SearchParams.from_dict(request.retrieval_params)
+            pen_doc = self._compose_penalty(request)
+            perf.perf("filter")
+
+            per_field: List[Tuple[VectorQuery, np.ndarray, np.ndarray]] = []
+            req_num = 0
+            for vq in request.vec_fields:
+                dists, docids = self._search_one_field(
+                    vq, request, sp, pen_doc)
+                req_num = dists.shape[0]
+                per_field.append((vq, dists, docids))
+                perf.perf(f"scan:{vq.name}")
+
+            merged = self._merge_fields(per_field, request)
+            perf.perf("merge")
+
+            metric = self._result_metric(sp)
+            for b in range(len(merged)):
+                sr = SearchResult()
+                for dist, docid in merged[b]:
+                    if docid < 0 or dist >= BIG:
+                        continue
+                    if self.bitmap.test(int(docid)):
+                        continue
+                    score = self._to_score(dist, metric, request.l2_sqrt
+                                           or sp.l2_sqrt)
+                    item = ResultItem(score=score, docid=int(docid),
+                                      key=self.table.key_by_docid(int(docid)))
+                    if request.fields:
+                        item.attributes = self.table.get_doc(
+                            int(docid), request.fields)
+                    sr.result_items.append(item)
+                sr.total = len(sr.result_items)
+                resp.results.append(sr)
+            perf.perf("pack")
+        resp.online_log_message = perf.output()
+        return resp
+
+    def _result_metric(self, sp: SearchParams) -> str:
+        mt = sp.metric_type
+        if mt is None and self.table_info.retrieval_params:
+            mt_s = str(self.table_info.retrieval_params[0].get(
+                "metric_type", "L2")).upper()
+            mt = (MetricType.INNER_PRODUCT
+                  if mt_s in ("IP", "INNERPRODUCT", "INNER_PRODUCT")
+                  else MetricType.L2)
+        return "ip" if mt == MetricType.INNER_PRODUCT else "l2"
+
+    @staticmethod
+    def _to_score(dist: float, metric: str, l2_sqrt: bool) -> float:
+        if metric == "ip":
+            return -float(dist)
+        return float(np.sqrt(dist)) if l2_sqrt else float(dist)
+
+    def _search_one_field(self, vq: VectorQuery, request: Request,
+                          sp: SearchParams, pen_doc: jnp.ndarray
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+        store = self.vm.stores[vq.name]
+        q = np.asarray(vq.value, np.float32).reshape(-1, store.d)
+        b = q.shape[0]
+        b_pad = _next_pow2(b)
+        qp = np.zeros((b_pad, store.d), np.float32)
+        qp[:b] = q
+        qd = jnp.asarray(qp)
+        k = max(request.topn, 1)
+        model = self.vm.index_for(vq.name)
+
+        if request.brute_force_search or model is None:
+            pen_rows = self._penalty_for_store(pen_doc, store)
+            metric = ("ip" if self._result_metric(sp) == "ip" else "l2")
+            dists, rows = flat_search(store.device, store.device_norms,
+                                      qd, pen_rows, k=k, metric=metric)
+            docids = rows if not store.vid_mgr.multi else None
+            dists_np = np.asarray(dists)[:b]
+            rows_np = np.asarray(rows)[:b]
+            docids_np = (store.vid_mgr.vid2doc(
+                np.maximum(rows_np, 0)) if store.vid_mgr.multi else rows_np)
+            docids_np = np.where(rows_np < 0, -1, docids_np)
+        else:
+            from gamma_tpu.index.flat import FlatIndex
+            if isinstance(model, FlatIndex):
+                pen = self._penalty_for_store(pen_doc, store)
+            else:
+                pen = pen_doc
+            dists, docids, vids = model.search(qd, pen, sp, k)
+            dists_np = np.asarray(dists)[:b]
+            docids_np = np.asarray(docids)[:b]
+            if isinstance(model, FlatIndex) and store.vid_mgr.multi:
+                rows_np = docids_np
+                docids_np = np.where(
+                    rows_np < 0, -1,
+                    store.vid_mgr.vid2doc(np.maximum(rows_np, 0)))
+
+        # score-range post-filter (reference: IsSimilarScoreValid)
+        if vq.min_score > -np.inf or vq.max_score < np.inf:
+            metric = self._result_metric(sp)
+            scores = (-dists_np if metric == "ip" else dists_np)
+            bad = (scores < vq.min_score) | (scores > vq.max_score)
+            dists_np = np.where(bad, np.float32(BIG), dists_np)
+            docids_np = np.where(bad, -1, docids_np)
+        if vq.has_boost:
+            dists_np = dists_np * np.float32(vq.boost)
+        return dists_np, docids_np
+
+    def _merge_fields(self, per_field, request: Request):
+        """Multi-vector-query docid merge (reference:
+        vector_manager.cc:512-576): a doc must match every vector clause;
+        its score is the (boost-weighted) sum."""
+        nq = per_field[0][1].shape[0]
+        out = []
+        if len(per_field) == 1:
+            _, dists, docids = per_field[0]
+            for b in range(nq):
+                out.append(list(zip(dists[b].tolist(), docids[b].tolist())))
+            return out
+        for b in range(nq):
+            acc: Dict[int, float] = {}
+            counts: Dict[int, int] = {}
+            for _, dists, docids in per_field:
+                for dist, docid in zip(dists[b], docids[b]):
+                    if docid < 0 or dist >= BIG:
+                        continue
+                    acc[docid] = acc.get(docid, 0.0) + float(dist)
+                    counts[docid] = counts.get(docid, 0) + 1
+            full = [(s, d) for d, s in acc.items()
+                    if counts[d] == len(per_field)]
+            full.sort()
+            out.append(full[: request.topn])
+        return out
+
+    # ================= point reads =================
+
+    def get_doc_by_key(self, key: Any,
+                       fields: Optional[List[str]] = None) -> Optional[Dict]:
+        docid = self.table.docid_by_key(key)
+        if docid < 0 or self.bitmap.test(docid):
+            return None
+        return self.get_doc(docid, fields)
+
+    def get_doc(self, docid: int,
+                fields: Optional[List[str]] = None) -> Optional[Dict]:
+        if docid < 0 or docid >= self.table.n or self.bitmap.test(docid):
+            return None
+        doc = self.table.get_doc(docid, fields)
+        doc["_id"] = self.table.key_by_docid(docid)
+        for name, store in self.vm.stores.items():
+            if fields is None or name in (fields or []):
+                vid = store.vid_mgr.doc2vid(docid)
+                if 0 <= vid < store.n:
+                    doc[name] = store.get(np.array([vid]))[0]
+        return doc
+
+    # ================= status / config =================
+
+    def engine_status(self) -> EngineStatus:
+        vmem, imem = self.vm.mem_bytes()
+        return EngineStatus(
+            index_status=self._index_status,
+            table_mem_bytes=self.table.mem_bytes() if self.table else 0,
+            index_mem_bytes=imem,
+            vector_mem_bytes=vmem,
+            field_range_mem_bytes=(self.range_index.mem_bytes()
+                                   if self.range_index else 0),
+            bitmap_mem_bytes=self.bitmap.mem_bytes(),
+            doc_count=(len(self.table.key2doc) if self.table else 0),
+            max_docid=self.max_docid,
+            min_indexed_num=self.vm.min_indexed_num(),
+            delete_num=self.delete_num,
+        )
+
+    # ================= checkpoint (reference: Dump/Load) =================
+
+    def dump(self) -> int:
+        """Write a dump dir + dump.done marker; remove the previous dump
+        (reference: gamma_engine.cc:1101-1146)."""
+        self.flush()
+        ts = time.strftime("%Y%m%d%H%M%S") + f"_{int(time.time()*1e6)%1000000:06d}"
+        dump_dir = os.path.join(self.config.path, f"dump_{ts}")
+        os.makedirs(dump_dir, exist_ok=True)
+        self.table.dump(dump_dir)
+        self.vm.dump(dump_dir)
+        atomic_write_json(os.path.join(dump_dir, "dump.done"),
+                          {"start_docid": 0, "end_docid": self.table.n})
+        # retire older dumps
+        for fn in sorted(os.listdir(self.config.path)):
+            full = os.path.join(self.config.path, fn)
+            if (fn.startswith("dump_") and full != dump_dir
+                    and os.path.isdir(full)):
+                shutil.rmtree(full, ignore_errors=True)
+        return 0
+
+    def load(self) -> int:
+        """Restore from the newest complete dump; clean partials
+        (reference: gamma_engine.cc:1175-1285)."""
+        if self.table is None:
+            if self.create_table_from_local() is None:
+                return -1
+        dumps = sorted(fn for fn in os.listdir(self.config.path)
+                       if fn.startswith("dump_"))
+        chosen = None
+        for fn in reversed(dumps):
+            full = os.path.join(self.config.path, fn)
+            if os.path.exists(os.path.join(full, "dump.done")):
+                chosen = full
+                break
+            shutil.rmtree(full, ignore_errors=True)   # partial dump
+        if chosen is None:
+            return 0
+        min_vec = self.vm.load(chosen)
+        doc_num = read_json(os.path.join(chosen, "dump.done"))["end_docid"]
+        doc_num = min(doc_num, min_vec) if self.vm.stores else doc_num
+        self.table.load(chosen, doc_num)
+        self.max_docid = self.table.n
+        # rebuild field range index by re-adding docs (reference :1251-1256)
+        for docid in range(self.table.n):
+            self.range_index.add_doc(docid, self.table.get_doc(docid))
+        # deleted docs recounted from bitmap (reference :1258-1270)
+        self.delete_num = sum(1 for d in range(self.table.n)
+                              if self.bitmap.test(d))
+        self._live_flushed = 0
+        self._validity = pen_ops.init_validity(ROW_PAD)
+        self._device_rows = ROW_PAD
+        self._pending_dead = [d for d in range(self.table.n)
+                              if self.bitmap.test(d)]
+        self.flush()
+        if any(m.trained() for m in self.vm.indexes.values()):
+            self._index_status = IndexStatus.INDEXED
+        return 0
+
+    # ================= migration (reference: gamma_api.h:194-206) ==========
+
+    def begin_migrate(self) -> int:
+        self.migrate = MigrateData(self.config.path, self.table.n)
+        return 0
+
+    def get_migrate_doc(self, batch: int = 1
+                        ) -> List[Tuple[Dict, bool]]:
+        """Returns up to `batch` (doc, is_delete) pairs; empty = done."""
+        if self.migrate is None:
+            return []
+        out = []
+        for docid, is_delete in self.migrate.next_batch(batch):
+            if is_delete:
+                out.append(({"_docid": docid}, True))
+            else:
+                doc = self.get_doc(docid)
+                if doc is not None:
+                    out.append((doc, False))
+        return out
+
+    def terminate_migrate(self) -> int:
+        if self.migrate is not None:
+            self.migrate.close()
+            self.migrate = None
+        return 0
+
+    def close(self) -> None:
+        self.stop_background_indexer()
+        self.bitmap.close()

@@ -1,0 +1,64 @@
+"""Brute-force scan: exact top-k with fused validity penalty.
+
+Reference: GammaFLATIndex (index/impl/gamma_index_flat.cc:118-300) —
+OpenMP-parallel L2/IP scan with per-vid filter + score-range checks.
+Here: one MXU matmul per corpus chunk + running top-k merge under a
+`lax.fori_loop`; the penalty gather replaces the IsValid callback and the
+score-range check becomes a post-filter on the final k.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gamma_tpu.ops.distances import pairwise_l2, pairwise_ip, BIG
+from gamma_tpu.ops.topk import topk_min, merge_topk
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk"))
+def flat_search(vectors: jnp.ndarray, vec_norms: jnp.ndarray,
+                queries: jnp.ndarray, penalty: jnp.ndarray,
+                *, k: int, metric: str = "l2", chunk: int = 131072):
+    """Exact search.
+
+    vectors  [N_cap, d]  (bf16 or f32; rows beyond live docs are masked
+                          via penalty=BIG)
+    vec_norms[N_cap]     precomputed ||x||^2 (f32; ignored for IP)
+    queries  [B, d]
+    penalty  [N_cap]     0 = valid, BIG = masked
+    → (dists [B, k] f32, ids [B, k] i32); masked slots come back with
+      dist >= BIG and id of whatever padding slot — callers drop them.
+    """
+    n = vectors.shape[0]
+    b = queries.shape[0]
+    chunk = min(chunk, n)
+    nchunks = -(-n // chunk)
+
+    def scan_chunk(ci, carry):
+        best_d, best_i = carry
+        # dynamic_slice clamps out-of-range starts; clamp explicitly and
+        # mask rows that a previous chunk already covered so ids stay
+        # unique across chunks.
+        start = jnp.minimum(ci * chunk, n - chunk)
+        v = jax.lax.dynamic_slice_in_dim(vectors, start, chunk, axis=0)
+        vn = jax.lax.dynamic_slice_in_dim(vec_norms, start, chunk, axis=0)
+        pen = jax.lax.dynamic_slice_in_dim(penalty, start, chunk, axis=0)
+        if metric == "ip":
+            d = -pairwise_ip(queries, v)
+        else:
+            d = pairwise_l2(queries, v, vn)
+        ids = start + jnp.arange(chunk, dtype=jnp.int32)
+        dup = ids < ci * chunk
+        d = jnp.minimum(d + pen[None, :] + jnp.where(dup, BIG, 0.0)[None, :],
+                        BIG)
+        cd, cidx = topk_min(d, jnp.broadcast_to(ids[None, :], d.shape), k)
+        return merge_topk(best_d, best_i, cd, cidx, k)
+
+    init = (jnp.full((b, k), BIG, jnp.float32),
+            jnp.full((b, k), jnp.int32(-1)))
+    if nchunks == 1:
+        return scan_chunk(0, init)
+    return jax.lax.fori_loop(0, nchunks, scan_chunk, init)

@@ -1,0 +1,205 @@
+"""IVFPQ / IVFFlat / binary-IVF search — the money path.
+
+Reference: GammaIVFPQIndex::search_preassigned + GammaIVFPQScanner
+(gamma_index_ivfpq.cc:701-890, gamma_index_ivfpq.h:403-418,574-601): per
+query, assign to nprobe coarse cells, build ADC LUTs, scan each cell's
+posting list with tombstone + IsValid checks, heap the best recall_num,
+then optionally rerank exactly with raw vectors (compute_dis, .cc:642-697).
+
+TPU-native pipeline (one jit, fixed shapes):
+  1. coarse assign     — (B x d x nlist) MXU matmul + top_k(nprobe)
+  2. LUT build         — einsum over [B, P, M, dsub] x [M, ksub, dsub]
+  3. list gather       — leading-axis gather of whole padded lists
+                         (contiguous DMA, unlike per-element gathers)
+  4. ADC + fused mask  — take_along_axis over the ksub axis, + penalty
+                         gather by docid (deletes + filters in one add)
+  5. top-recall_num    — lax.top_k over the flattened candidate axis
+  6. exact rerank      — gather raw vectors by vid, exact L2/IP, top-k
+
+Smaller-is-better everywhere; IP scores are negated.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gamma_tpu.ops import pq as pq_ops
+from gamma_tpu.ops.distances import pairwise_l2, pairwise_ip, l2_norms, BIG
+from gamma_tpu.ops.topk import topk_min
+from gamma_tpu.realtime.invert_index import IVFState
+
+
+def coarse_assign(queries: jnp.ndarray, centroids: jnp.ndarray,
+                  cent_norms: jnp.ndarray, nprobe: int, metric: str
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """→ (coarse_dists [B, P], list_ids [B, P])."""
+    if metric == "ip":
+        d = -pairwise_ip(queries, centroids)
+    else:
+        d = pairwise_l2(queries, centroids, cent_norms)
+    ids = jnp.broadcast_to(
+        jnp.arange(centroids.shape[0], dtype=jnp.int32)[None, :], d.shape)
+    return topk_min(d, ids, nprobe)
+
+
+def _gather_lists(state: IVFState, list_ids: jnp.ndarray):
+    """Gather whole padded lists for each (query, probe)."""
+    codes_g = jnp.take(state.codes, list_ids, axis=0)    # [B, P, cap, W] u8
+    vids_g = jnp.take(state.vids, list_ids, axis=0)      # [B, P, cap]
+    docids_g = jnp.take(state.docids, list_ids, axis=0)  # [B, P, cap]
+    lens_g = jnp.take(state.lens, list_ids, axis=0)      # [B, P]
+    return codes_g, vids_g, docids_g, lens_g
+
+
+def _candidate_mask_penalty(docids_g, lens_g, cap, penalty):
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    in_len = pos[None, None, :] < lens_g[..., None]
+    pen = jnp.take(penalty, docids_g, mode="fill", fill_value=BIG)
+    return jnp.where(in_len, pen, BIG)
+
+
+def _select_candidates(dist, docids_g, vids_g, recall_num):
+    b = dist.shape[0]
+    flat = dist.reshape(b, -1)
+    ids = jnp.broadcast_to(
+        jnp.arange(flat.shape[1], dtype=jnp.int32)[None, :], flat.shape)
+    rd, ridx = topk_min(flat, ids, recall_num)
+    rdoc = jnp.take_along_axis(docids_g.reshape(b, -1), ridx, axis=1)
+    rvid = jnp.take_along_axis(vids_g.reshape(b, -1), ridx, axis=1)
+    # re-poison: masked candidates keep BIG dist and -1 ids
+    dead = rd >= BIG
+    return rd, jnp.where(dead, -1, rdoc), jnp.where(dead, -1, rvid)
+
+
+def _rerank(queries, rd, rdoc, rvid, raw_vectors, penalty, k, metric):
+    """Exact rerank of recall_num candidates with raw vectors
+    (reference: compute_dis, gamma_index_ivfpq.cc:642-697)."""
+    rows = jnp.take(raw_vectors, rvid, axis=0, mode="fill",
+                    fill_value=0).astype(jnp.float32)        # [B, R, d]
+    qf = queries.astype(jnp.float32)[:, None, :]
+    if metric == "ip":
+        exact = -jnp.sum(qf * rows, axis=-1)
+    else:
+        diff = qf - rows
+        exact = jnp.sum(diff * diff, axis=-1)
+    exact = jnp.where(rd >= BIG, BIG, exact)
+    ed, eidx = topk_min(exact, jnp.broadcast_to(
+        jnp.arange(rd.shape[1], dtype=jnp.int32)[None, :], exact.shape), k)
+    fdoc = jnp.take_along_axis(rdoc, eidx, axis=1)
+    fvid = jnp.take_along_axis(rvid, eidx, axis=1)
+    dead = ed >= BIG
+    return ed, jnp.where(dead, -1, fdoc), jnp.where(dead, -1, fvid)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nprobe", "recall_num", "k", "metric", "rerank"))
+def ivfpq_search(state: IVFState,
+                 centroids: jnp.ndarray,      # [nlist, d] f32
+                 cent_norms: jnp.ndarray,     # [nlist] f32
+                 codebooks: pq_ops.PQCodebooks,
+                 queries: jnp.ndarray,        # [B, d] (pre-rotated if OPQ)
+                 penalty: jnp.ndarray,        # [N_cap] f32
+                 raw_vectors: jnp.ndarray,    # [V_cap, d] (bf16/f32)
+                 *, nprobe: int, recall_num: int, k: int,
+                 metric: str = "l2", rerank: bool = True):
+    """→ (dists [B, k] f32, docids [B, k] i32, vids [B, k] i32).
+    Masked/empty slots return dist >= BIG and ids = -1."""
+    cd, list_ids = coarse_assign(queries, centroids, cent_norms,
+                                 nprobe, metric)
+    codes_g, vids_g, docids_g, lens_g = _gather_lists(state, list_ids)
+
+    if metric == "ip":
+        # score = q.c + q.decode(residual code); dist = -score
+        lut = -pq_ops.ip_lut(codebooks, queries)          # [B, M, ksub]
+        lut = jnp.broadcast_to(lut[:, None], (lut.shape[0], nprobe) +
+                               lut.shape[1:])
+        base = cd[..., None]                              # -q.c
+    else:
+        probed_cents = jnp.take(centroids, list_ids, axis=0)   # [B, P, d]
+        residual = queries.astype(jnp.float32)[:, None, :] - probed_cents
+        lut = pq_ops.l2_lut(codebooks, residual)          # [B, P, M, ksub]
+        base = 0.0
+
+    adc = pq_ops.adc_scan(lut, codes_g)                   # [B, P, cap]
+    dist = adc + base + _candidate_mask_penalty(
+        docids_g, lens_g, state.cap, penalty)
+    dist = jnp.minimum(dist, BIG)
+
+    rd, rdoc, rvid = _select_candidates(dist, docids_g, vids_g, recall_num)
+    if not rerank:
+        return topk_like(rd, rdoc, rvid, k)
+    return _rerank(queries, rd, rdoc, rvid, raw_vectors, penalty, k, metric)
+
+
+def topk_like(rd, rdoc, rvid, k):
+    if k == rd.shape[1]:
+        return rd, rdoc, rvid
+    return rd[:, :k], rdoc[:, :k], rvid[:, :k]
+
+
+# ---------------------------------------------------------------------
+# IVFFlat: codes are bf16 raw vectors stored as bytes in the same state
+# (reference: gamma_index_ivfflat.{h,cc} — full vectors as "codes")
+# ---------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "k", "metric", "d"))
+def ivfflat_search(state: IVFState, centroids, cent_norms, queries,
+                   penalty, *, nprobe: int, k: int, d: int,
+                   metric: str = "l2"):
+    """Exact-distance IVF scan: posting payload = bf16 vector bytes."""
+    cd, list_ids = coarse_assign(queries, centroids, cent_norms,
+                                 nprobe, metric)
+    codes_g, vids_g, docids_g, lens_g = _gather_lists(state, list_ids)
+    b, p, cap, w = codes_g.shape
+    vecs = jax.lax.bitcast_convert_type(
+        codes_g.reshape(b, p, cap, d, 2), jnp.bfloat16
+    ).reshape(b, p, cap, d).astype(jnp.float32)
+    qf = queries.astype(jnp.float32)
+    if metric == "ip":
+        dist = -jnp.einsum("bd,bpcd->bpc", qf, vecs,
+                           preferred_element_type=jnp.float32)
+    else:
+        diff = qf[:, None, None, :] - vecs
+        dist = jnp.sum(diff * diff, axis=-1)
+    dist = dist + _candidate_mask_penalty(docids_g, lens_g, cap, penalty)
+    dist = jnp.minimum(dist, BIG)
+    return _select_candidates(dist, docids_g, vids_g, k)
+
+
+# ---------------------------------------------------------------------
+# Binary IVF: Hamming distance over packed bits
+# (reference: gamma_index_binary_ivf.{h,cc})
+# ---------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k"))
+def binary_ivf_search(state: IVFState, centroids_bits: jnp.ndarray,
+                      query_codes: jnp.ndarray, penalty: jnp.ndarray,
+                      *, nprobe: int, k: int):
+    """centroids_bits [nlist, W] u8, query_codes [B, W] u8.
+    Coarse + fine are Hamming via XOR + population_count."""
+    def hamming(a, b):
+        # a [..., W], b [n, W] → [..., n]
+        x = jnp.bitwise_xor(a[..., None, :], b[None, :, :])
+        return jnp.sum(jax.lax.population_count(x).astype(jnp.int32),
+                       axis=-1)
+
+    cdist = hamming(query_codes, centroids_bits).astype(jnp.float32)
+    ids = jnp.broadcast_to(
+        jnp.arange(centroids_bits.shape[0], dtype=jnp.int32)[None, :],
+        cdist.shape)
+    _, list_ids = topk_min(cdist, ids, nprobe)
+
+    codes_g, vids_g, docids_g, lens_g = _gather_lists(state, list_ids)
+    x = jnp.bitwise_xor(codes_g, query_codes[:, None, None, :])
+    dist = jnp.sum(jax.lax.population_count(x).astype(jnp.int32),
+                   axis=-1).astype(jnp.float32)
+    dist = dist + _candidate_mask_penalty(docids_g, lens_g, state.cap,
+                                          penalty)
+    dist = jnp.minimum(dist, BIG)
+    return _select_candidates(dist, docids_g, vids_g, k)

@@ -1,0 +1,142 @@
+"""Hybrid-search filter index.
+
+Reference: table/field_range_index.{h,cc} (MultiFieldsRangeIndex) — a
+concurrent B-tree per indexed field mapping values → adaptive
+sparse/dense posting bitmaps, with async writes and bitmap AND/OR/NOT
+composition (Search:1015-1115, Intersect:1117-1200).
+
+TPU-native re-derivation: there is no B-tree.  Numeric predicates are
+evaluated directly over device-mirrored columns inside the search step
+(a [N] compare is a trivially-vectorized VPU pass, far cheaper than tree
+walks at TPU bandwidth), producing the fused penalty array.  Term (string)
+filters keep a host inverted map term→docid list; term predicates compose
+into a boolean mask uploaded only when present.
+
+The write path stays off the query critical path like the reference's
+async field-index worker (field_range_index.cc:901-989): device column
+mirrors are refreshed by the engine's flush step, not per-doc.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gamma_tpu.api.request import RangeFilter, TermFilter
+from gamma_tpu.config import DataType
+from gamma_tpu.ops import penalty as pen_ops
+from gamma_tpu.table.table import Table
+
+
+class MultiFieldsRangeIndex:
+    def __init__(self, table: Table):
+        self.table = table
+        self._lock = threading.Lock()
+        self.numeric_fields: List[str] = []
+        self.term_fields: List[str] = []
+        # device mirrors of numeric columns, refreshed on flush
+        self._device_cols: Dict[str, jnp.ndarray] = {}
+        self._device_rows = 0
+        # term postings: field → term → list[docid]
+        self._postings: Dict[str, Dict[str, List[int]]] = {}
+
+    # ---- schema (reference: AddField, field_range_index.cc:1202-1217) ----
+
+    def add_field(self, name: str, data_type: DataType) -> None:
+        with self._lock:
+            if data_type == DataType.STRING:
+                self.term_fields.append(name)
+                self._postings[name] = {}
+            else:
+                self.numeric_fields.append(name)
+
+    # ---- writes ----
+
+    def add_doc(self, docid: int, fields: Dict) -> None:
+        """Index term fields for one doc.  Numeric fields need no per-doc
+        work — the column itself is the index."""
+        for name in self.term_fields:
+            v = fields.get(name)
+            if v is None:
+                continue
+            for term in str(v).split("\x01"):
+                if term:
+                    self._postings[name].setdefault(term, []).append(docid)
+
+    def delete_doc(self, docid: int) -> None:
+        # deletes are handled by the global validity penalty; postings may
+        # keep stale docids harmlessly (they're masked by validity).
+        pass
+
+    def flush_device(self, pad_chunk: int = 4096) -> None:
+        """Refresh device mirrors of numeric columns (engine calls this on
+        its ingest flush; queries between flushes see the last mirror,
+        same freshness model as the reference's async index worker)."""
+        n = self.table.n
+        rows = -(-max(n, 1) // pad_chunk) * pad_chunk
+        for name in self.numeric_fields:
+            col = np.zeros(rows, dtype=np.float32)
+            col[:n] = self.table.column(name).astype(np.float32)
+            self._device_cols[name] = jnp.asarray(col)
+        self._device_rows = rows
+
+    # ---- query (reference: Search/Intersect :1015-1200) ----
+
+    def term_mask(self, term_filters: Sequence[TermFilter],
+                  n: int) -> Optional[np.ndarray]:
+        """Boolean mask over [0, n) from term filters (AND across filters;
+        union/intersection across terms within one filter per is_union)."""
+        if not term_filters:
+            return None
+        mask = np.ones(n, dtype=bool)
+        for tf in term_filters:
+            postings = self._postings.get(tf.field, {})
+            terms = tf.terms()
+            if tf.is_union:
+                m = np.zeros(n, dtype=bool)
+                for t in terms:
+                    ids = postings.get(t)
+                    if ids:
+                        arr = np.asarray(ids)
+                        m[arr[arr < n]] = True
+            else:
+                m = np.ones(n, dtype=bool)
+                for t in terms:
+                    mt = np.zeros(n, dtype=bool)
+                    ids = postings.get(t)
+                    if ids:
+                        arr = np.asarray(ids)
+                        mt[arr[arr < n]] = True
+                    m &= mt
+            mask &= m
+        return mask
+
+    def range_penalties(self, range_filters: Sequence[RangeFilter]
+                        ) -> List[jnp.ndarray]:
+        """Per-filter penalty arrays over the device column mirrors."""
+        out = []
+        for rf in range_filters:
+            col = self._device_cols.get(rf.field)
+            if col is None:
+                # field not mirrored yet (no flush) → mask everything;
+                # engine flushes before first search so this is a guard.
+                continue
+            out.append(pen_ops.range_penalty(
+                col, rf.lower_value, rf.upper_value,
+                include_lower=rf.include_lower,
+                include_upper=rf.include_upper))
+        return out
+
+    @property
+    def device_rows(self) -> int:
+        return self._device_rows
+
+    def mem_bytes(self) -> int:
+        m = sum(c.size * 4 for c in self._device_cols.values())
+        for field, post in self._postings.items():
+            for t, ids in post.items():
+                m += len(ids) * 8 + len(t)
+        return int(m)

@@ -1,0 +1,225 @@
+"""Raw vector store: host master + device mirror.
+
+Reference: vector/raw_vector.{h,cc} + memory_raw_vector / mmap_raw_vector —
+a segmented store with an in-RAM tier and disk persistence, plus
+`VIDMgr` mapping vid↔docid when docs carry multiple vectors per field
+(vector/raw_vector_common.h:44-147).
+
+TPU-native split:
+  * HOST master: one grow-by-doubling numpy array (f32) — the source of
+    truth for persistence, GetVector, and training gathers.  `Mmap`
+    store_type backs it with a disk memmap instead of RAM.
+  * DEVICE mirror: a [cap, d] bf16 (or f32) jnp array used by flat scans
+    and exact rerank; appended via donated dynamic_update_slice flushes,
+    capacity-doubled like the inverted lists.
+
+The device mirror is versioned and immutable — searches hold whatever
+snapshot they started with (gamma gets this with segment pointers +
+atomic counters; we get it from functional updates).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import threading
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gamma_tpu.ops.distances import l2_norms
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
+def _device_append(dev: jnp.ndarray, norms: jnp.ndarray,
+                   rows: jnp.ndarray, row_norms: jnp.ndarray,
+                   start: jnp.ndarray):
+    dev = jax.lax.dynamic_update_slice(dev, rows, (start, jnp.int32(0)))
+    norms = jax.lax.dynamic_update_slice(norms, row_norms, (start,))
+    return dev, norms
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _device_update_rows(dev: jnp.ndarray, norms: jnp.ndarray,
+                        vids: jnp.ndarray, rows: jnp.ndarray,
+                        row_norms: jnp.ndarray):
+    dev = dev.at[vids].set(rows, mode="drop")
+    norms = norms.at[vids].set(row_norms, mode="drop")
+    return dev, norms
+
+
+class VIDMgr:
+    """vid↔docid maps (identity when each doc has exactly one vector)."""
+
+    def __init__(self, multi_vids: bool = False):
+        self.multi = multi_vids
+        self._vid2doc = np.zeros(0, dtype=np.int64)
+        self._doc_first_vid = np.zeros(0, dtype=np.int64)
+
+    def note(self, docid: int, vids: np.ndarray) -> None:
+        if not self.multi:
+            return
+        hi = int(vids.max()) + 1
+        if hi > self._vid2doc.size:
+            grown = np.full(max(hi, 2 * self._vid2doc.size + 1024), -1,
+                            dtype=np.int64)
+            grown[: self._vid2doc.size] = self._vid2doc
+            self._vid2doc = grown
+        if docid >= self._doc_first_vid.size:
+            grown = np.full(max(docid + 1, 2 * self._doc_first_vid.size
+                                + 1024), -1, dtype=np.int64)
+            grown[: self._doc_first_vid.size] = self._doc_first_vid
+            self._doc_first_vid = grown
+        self._vid2doc[vids] = docid
+        if self._doc_first_vid[docid] < 0:
+            self._doc_first_vid[docid] = int(vids.min())
+
+    def vid2doc(self, vids: np.ndarray) -> np.ndarray:
+        if not self.multi:
+            return np.asarray(vids)
+        return self._vid2doc[np.asarray(vids)]
+
+    def doc2vid(self, docid: int) -> int:
+        if not self.multi:
+            return docid
+        return int(self._doc_first_vid[docid])
+
+
+class RawVectorStore:
+    def __init__(self, name: str, dimension: int, *,
+                 store_type: str = "MemoryOnly",
+                 root_path: str = "",
+                 device_dtype=jnp.bfloat16,
+                 init_cap: int = 8192,
+                 multi_vids: bool = False):
+        self.name = name
+        self.d = dimension
+        self.store_type = store_type
+        self.root_path = root_path
+        self.device_dtype = device_dtype
+        self.n = 0                       # number of vectors (vids) stored
+        self._flushed = 0                # rows mirrored to device
+        self._lock = threading.Lock()
+        self.vid_mgr = VIDMgr(multi_vids)
+
+        self._host_cap = init_cap
+        self._host = self._alloc_host(init_cap)
+        cap = init_cap
+        self.device = jnp.zeros((cap, dimension), device_dtype)
+        self.device_norms = jnp.zeros((cap,), jnp.float32)
+
+    # ---- host tier ----
+
+    def _alloc_host(self, cap: int) -> np.ndarray:
+        if self.store_type == "Mmap" and self.root_path:
+            os.makedirs(self.root_path, exist_ok=True)
+            path = os.path.join(self.root_path, f"{self.name}.vec")
+            return np.lib.format.open_memmap(
+                path, mode="w+", dtype=np.float32, shape=(cap, self.d))
+        return np.zeros((cap, self.d), dtype=np.float32)
+
+    def _grow_host(self, need: int) -> None:
+        new_cap = self._host_cap
+        while new_cap < need:
+            new_cap *= 2
+        fresh = self._alloc_host(new_cap)
+        fresh[: self.n] = self._host[: self.n]
+        self._host = fresh
+        self._host_cap = new_cap
+
+    # ---- public API (mirrors RawVector Add/Update/GetVector/Gets) ----
+
+    def add(self, rows: np.ndarray) -> np.ndarray:
+        """Append rows [n, d]; returns assigned vids."""
+        rows = np.asarray(rows, dtype=np.float32).reshape(-1, self.d)
+        with self._lock:
+            start = self.n
+            need = start + rows.shape[0]
+            if need > self._host_cap:
+                self._grow_host(need)
+            self._host[start:need] = rows
+            self.n = need
+            return np.arange(start, need, dtype=np.int64)
+
+    def update(self, vids: np.ndarray, rows: np.ndarray) -> None:
+        rows = np.asarray(rows, dtype=np.float32).reshape(-1, self.d)
+        vids = np.asarray(vids, dtype=np.int64)
+        with self._lock:
+            self._host[vids] = rows
+            flushed_mask = vids < self._flushed
+            if flushed_mask.any():
+                vv = vids[flushed_mask]
+                rr = rows[flushed_mask].astype(self.device_dtype)
+                self.device, self.device_norms = _device_update_rows(
+                    self.device, self.device_norms,
+                    jnp.asarray(vv, jnp.int32), jnp.asarray(rr),
+                    jnp.asarray(np.sum(rows[flushed_mask] ** 2, axis=1),
+                                jnp.float32))
+
+    def get(self, vids: np.ndarray) -> np.ndarray:
+        return self._host[np.asarray(vids, dtype=np.int64)].copy()
+
+    def header(self, start: int, end: int) -> np.ndarray:
+        """Zero-copy span of the host tier (GetVectorHeader analog)."""
+        return self._host[start:end]
+
+    # ---- device mirror ----
+
+    def flush_device(self, pad_chunk: int = 1024) -> int:
+        """Mirror any host rows not yet on device.  Padded to pad_chunk to
+        bound the number of distinct jit shapes.  Returns rows flushed."""
+        with self._lock:
+            start, end = self._flushed, self.n
+            if end <= start:
+                return 0
+            cap = self.device.shape[0]
+            if end > cap:
+                new_cap = cap
+                while new_cap < end:
+                    new_cap *= 2
+                self.device = jnp.pad(
+                    self.device, ((0, new_cap - cap), (0, 0)))
+                self.device_norms = jnp.pad(
+                    self.device_norms, (0, new_cap - cap))
+                cap = new_cap
+            count = end - start
+            padded = -(-count // pad_chunk) * pad_chunk
+            padded = min(padded, cap - start)
+            rows_np = np.zeros((padded, self.d), dtype=np.float32)
+            rows_np[:count] = self._host[start:end]
+            rows = jnp.asarray(rows_np, self.device_dtype)
+            norms = jnp.asarray(np.sum(rows_np ** 2, axis=1), jnp.float32)
+            self.device, self.device_norms = _device_append(
+                self.device, self.device_norms, rows, norms,
+                jnp.int32(start))
+            self._flushed = end
+            return count
+
+    @property
+    def flushed(self) -> int:
+        return self._flushed
+
+    def mem_bytes(self) -> int:
+        host = 0 if self.store_type == "Mmap" else self._host.nbytes
+        dev = self.device.size * self.device.dtype.itemsize
+        return int(host + dev + self.device_norms.nbytes)
+
+    # ---- checkpoint (reference: io/raw_vector_io.{h,cc}) ----
+
+    def dump(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, f"{self.name}.rawvec.npy"),
+                self._host[: self.n])
+
+    def load(self, path: str) -> int:
+        f = os.path.join(path, f"{self.name}.rawvec.npy")
+        if not os.path.exists(f):
+            return 0
+        data = np.load(f)
+        self.n = 0
+        self._flushed = 0
+        self.add(data)
+        self.flush_device()
+        return data.shape[0]

@@ -1,0 +1,221 @@
+"""End-to-end engine lifecycle matrix.
+
+Mirrors the reference suite's composite scenario (tests/test.h:1131-1164
+TestIndexes: create → add → build-index → search (with range + term
+filters) → dump → close → load → search again), parameterized over
+retrieval model and store type like tests/test_files.cc:46-388.
+"""
+
+import numpy as np
+import pytest
+
+from gamma_tpu import (Doc, EngineConfig, FieldInfo, GammaEngine,
+                       RangeFilter, Request, TableInfo, TermFilter,
+                       VectorInfo, VectorQuery)
+from gamma_tpu.config import DataType
+
+
+N_DOCS = 3000
+DIM = 32
+
+
+def make_engine(tmp_path, model, store_type="MemoryOnly", metric="L2"):
+    cfg = EngineConfig(path=str(tmp_path))
+    eng = GammaEngine(cfg)
+    info = TableInfo(
+        name="ts",
+        fields=[
+            FieldInfo("_id", DataType.STRING),
+            FieldInfo("url", DataType.STRING),
+            FieldInfo("cid1", DataType.INT, is_index=True),
+            FieldInfo("cid2", DataType.INT, is_index=True),
+            FieldInfo("price", DataType.FLOAT, is_index=True),
+            FieldInfo("tag", DataType.STRING, is_index=True),
+        ],
+        vectors=[VectorInfo("vec", DIM, store_type=store_type)],
+        indexing_size=1000,
+        retrieval_types=[model],
+        retrieval_params=[{"ncentroids": 32, "nsubvector": 8,
+                           "nprobe": 12, "metric_type": metric}],
+    )
+    eng.create_table(info)
+    return eng
+
+
+def corpus(rng, n=N_DOCS, d=DIM):
+    centers = rng.normal(size=(16, d)).astype(np.float32)
+    x = (centers[rng.integers(0, 16, n)]
+         + 0.1 * rng.normal(size=(n, d))).astype(np.float32)
+    return x
+
+
+def add_docs(eng, x):
+    docs = []
+    for i in range(x.shape[0]):
+        docs.append(Doc(
+            key=f"key_{i}",
+            fields={"url": f"http://x/{i}", "cid1": i % 10,
+                    "cid2": i % 100, "price": float(i),
+                    "tag": f"t{i % 5}"},
+            vectors={"vec": x[i]},
+        ))
+    return eng.add_or_update_docs(docs)
+
+
+@pytest.mark.parametrize("model,store_type", [
+    ("IVFPQ", "MemoryOnly"),
+    ("IVFPQ", "Mmap"),
+    ("FLAT", "MemoryOnly"),
+    ("IVFFLAT", "MemoryOnly"),
+    ("BINARYIVF", "MemoryOnly"),
+])
+def test_lifecycle(tmp_path, model, store_type):
+    rng = np.random.default_rng(3)
+    x = corpus(rng)
+    eng = make_engine(tmp_path, model, store_type)
+    codes = add_docs(eng, x)
+    assert all(c == 0 for c in codes)
+    eng.build_index()
+    eng.flush()
+    status = eng.engine_status()
+    assert status.doc_count == N_DOCS
+    assert status.min_indexed_num >= (0 if model == "FLAT" else N_DOCS)
+
+    # self-retrieval (reference SearchThread checks the query's own doc
+    # comes back, test.h:565-718)
+    qi = rng.integers(0, N_DOCS, 16)
+    req = Request(topn=10,
+                  vec_fields=[VectorQuery("vec", x[qi])],
+                  fields=["url", "price"],
+                  retrieval_params={"recall_num": 100})
+    resp = eng.search(req)
+    assert len(resp.results) == 16
+    hits = 0
+    for b, sr in enumerate(resp.results):
+        assert sr.total > 0
+        got = [it.docid for it in sr.result_items]
+        if int(qi[b]) in got:
+            hits += 1
+    # binary codes are lossy (sign bits); others should be near-perfect
+    min_hits = 8 if model == "BINARYIVF" else 14
+    assert hits >= min_hits, f"{model}: self-retrieval {hits}/16"
+
+    # filtered search: price range + term filter, verified vs oracle
+    req_f = Request(
+        topn=10,
+        vec_fields=[VectorQuery("vec", x[:4])],
+        range_filters=[RangeFilter("price", 100.0, 2000.0)],
+        term_filters=[TermFilter("tag", "t1\x01t2", is_union=1)],
+        retrieval_params={"recall_num": 200},
+    )
+    resp_f = eng.search(req_f)
+    for sr in resp_f.results:
+        for it in sr.result_items:
+            assert 100.0 <= it.docid <= 2000.0   # price == docid
+            assert it.docid % 5 in (1, 2)        # tag t1/t2
+
+    # delete one doc, ensure it stops matching
+    target = int(qi[0])
+    assert eng.delete(f"key_{target}") == 0
+    resp2 = eng.search(Request(
+        topn=5, vec_fields=[VectorQuery("vec", x[target])],
+        retrieval_params={"recall_num": 50}))
+    assert all(it.docid != target
+               for it in resp2.results[0].result_items)
+
+    # get-doc API
+    doc = eng.get_doc_by_key("key_5", ["url", "cid1"])
+    assert doc["url"] == "http://x/5"
+
+    # dump → fresh engine → load → search parity
+    eng.dump()
+    eng.close()
+
+    eng2 = GammaEngine(EngineConfig(path=str(tmp_path)))
+    assert eng2.load() == 0
+    resp3 = eng2.search(Request(
+        topn=10, vec_fields=[VectorQuery("vec", x[qi])],
+        retrieval_params={"recall_num": 100}))
+    hits2 = sum(1 for b, sr in enumerate(resp3.results)
+                if int(qi[b]) in [it.docid for it in sr.result_items]
+                and int(qi[b]) != target)
+    assert hits2 >= min_hits - 2
+    eng2.close()
+
+
+def test_upsert_and_update(tmp_path):
+    rng = np.random.default_rng(11)
+    x = corpus(rng, n=1500)
+    eng = make_engine(tmp_path, "IVFPQ")
+    add_docs(eng, x)
+    eng.build_index()
+    # update doc 7's vector to equal doc 9's → searching old vec misses 7
+    new_vec = x[9] + 0.001
+    eng.add_or_update_doc(Doc(key="key_7",
+                              fields={"price": 7777.0},
+                              vectors={"vec": new_vec}))
+    eng.flush()
+    assert eng.get_doc_by_key("key_7")["price"] == 7777.0
+    resp = eng.search(Request(
+        topn=3, vec_fields=[VectorQuery("vec", new_vec)],
+        retrieval_params={"recall_num": 50}))
+    got = [it.docid for it in resp.results[0].result_items]
+    assert 7 in got and 9 in got
+    eng.close()
+
+
+def test_brute_force_flag(tmp_path):
+    rng = np.random.default_rng(13)
+    x = corpus(rng, n=500)
+    eng = make_engine(tmp_path, "IVFPQ")
+    add_docs(eng, x)
+    eng.flush()    # NOT trained — brute force must still work
+    resp = eng.search(Request(
+        topn=5, vec_fields=[VectorQuery("vec", x[3])],
+        brute_force_search=True))
+    assert resp.results[0].result_items[0].docid == 3
+    eng.close()
+
+
+def test_del_doc_by_query(tmp_path):
+    rng = np.random.default_rng(17)
+    x = corpus(rng, n=1200)
+    eng = make_engine(tmp_path, "FLAT")
+    add_docs(eng, x)
+    eng.flush()
+    n_del = eng.del_doc_by_query(Request(
+        range_filters=[RangeFilter("price", 0.0, 99.0)]))
+    assert n_del == 100
+    st = eng.engine_status()
+    assert st.delete_num == 100
+    assert st.doc_count == 1100
+    eng.close()
+
+
+def test_migration(tmp_path):
+    rng = np.random.default_rng(19)
+    x = corpus(rng, n=300)
+    eng = make_engine(tmp_path, "FLAT")
+    add_docs(eng, x)
+    eng.flush()
+    eng.begin_migrate()
+    # writes during migration land in the incremental queue
+    eng.add_or_update_doc(Doc(key="key_live",
+                              fields={"price": 1.0, "cid1": 0, "cid2": 0,
+                                      "url": "u", "tag": "t0"},
+                              vectors={"vec": x[0]}))
+    eng.delete("key_5")
+    seen, deletes = 0, 0
+    while True:
+        batch = eng.get_migrate_doc(64)
+        if not batch:
+            break
+        for doc, is_del in batch:
+            if is_del:
+                deletes += 1
+            else:
+                seen += 1
+    assert seen >= 300   # snapshot + the live add
+    assert deletes == 1
+    eng.terminate_migrate()
+    eng.close()

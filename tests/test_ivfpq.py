@@ -1,0 +1,107 @@
+"""IVFPQ model: recall vs exact oracle, fused filters, delete/update,
+dump/load — the recall-parity harness of SURVEY.md §7 step 4."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gamma_tpu.config import SearchParams
+from gamma_tpu.index.ivfpq import IVFPQIndex
+from gamma_tpu.ops import penalty as pen_ops
+from gamma_tpu.ops.distances import BIG
+from gamma_tpu.vector.raw_store import RawVectorStore
+
+
+def exact_topk(x, q, k):
+    d = ((q[:, None] - x[None]) ** 2).sum(-1)
+    return np.argsort(d, axis=1)[:, :k]
+
+
+@pytest.fixture(scope="module")
+def built(rng_mod):
+    rng = rng_mod
+    n, d = 20000, 64
+    centers = rng.normal(size=(64, d)).astype(np.float32)
+    x = (centers[rng.integers(0, 64, n)]
+         + 0.15 * rng.normal(size=(n, d))).astype(np.float32)
+    store = RawVectorStore("vec", d)
+    store.add(x)
+    store.flush_device()
+    idx = IVFPQIndex(store, {"ncentroids": 64, "nsubvector": 16,
+                             "nprobe": 16})
+    idx.train(x)
+    vids = np.arange(n, dtype=np.int64)
+    idx.add(x, vids, vids)
+    pen = np.zeros(n, np.float32)
+    return x, store, idx, jnp.asarray(pen)
+
+
+@pytest.fixture(scope="module")
+def rng_mod():
+    return np.random.default_rng(7)
+
+
+def test_recall_at_10(built, rng_mod):
+    x, store, idx, pen = built
+    q = x[rng_mod.integers(0, x.shape[0], 32)].copy()
+    want = exact_topk(x, q, 10)
+    sp = SearchParams(recall_num=100)
+    d, docids, vids = idx.search(jnp.asarray(q), pen, sp, k=10)
+    got = np.asarray(docids)
+    recall = np.mean([len(set(got[b]) & set(want[b])) / 10
+                      for b in range(q.shape[0])])
+    assert recall >= 0.8, f"recall@10 = {recall}"
+
+
+def test_rerank_improves_recall1(built, rng_mod):
+    x, store, idx, pen = built
+    q = x[rng_mod.integers(0, x.shape[0], 64)].copy()
+    sp = SearchParams(recall_num=100, has_rank=True)
+    _, docids, _ = idx.search(jnp.asarray(q), pen, sp, k=1)
+    want = exact_topk(x, q, 1)[:, 0]
+    r_rank = np.mean(np.asarray(docids)[:, 0] == want)
+    sp2 = SearchParams(recall_num=100, has_rank=False)
+    _, docids2, _ = idx.search(jnp.asarray(q), pen, sp2, k=1)
+    r_norank = np.mean(np.asarray(docids2)[:, 0] == want)
+    assert r_rank >= r_norank
+    assert r_rank >= 0.9, f"reranked recall@1 = {r_rank}"
+
+
+def test_filter_fused(built):
+    x, store, idx, pen_clear = built
+    n = x.shape[0]
+    # only even docids pass the filter
+    pen = np.zeros(n, np.float32)
+    pen[1::2] = float(BIG)
+    q = x[:8].copy()
+    sp = SearchParams(recall_num=200)
+    _, docids, _ = idx.search(jnp.asarray(q), jnp.asarray(pen), sp, k=10)
+    got = np.asarray(docids)
+    live = got[got >= 0]
+    assert live.size > 0
+    assert (live % 2 == 0).all()
+
+
+def test_delete_then_search(built):
+    x, store, idx, pen = built
+    q = x[100:101].copy()
+    sp = SearchParams(recall_num=50)
+    _, docids, _ = idx.search(jnp.asarray(q), pen, sp, k=1)
+    assert np.asarray(docids)[0, 0] == 100
+    idx.delete(np.array([100]))
+    _, docids, _ = idx.search(jnp.asarray(q), pen, sp, k=1)
+    assert np.asarray(docids)[0, 0] != 100
+
+
+def test_dump_load_roundtrip(built, tmp_path):
+    x, store, idx, pen = built
+    q = x[:4].copy()
+    sp = SearchParams(recall_num=50)
+    d1, i1, _ = idx.search(jnp.asarray(q), pen, sp, k=5)
+    idx.dump(str(tmp_path))
+    idx2 = IVFPQIndex(store, {"ncentroids": 64, "nsubvector": 16,
+                              "nprobe": 16})
+    assert idx2.load(str(tmp_path)) == idx.indexed_count
+    d2, i2, _ = idx2.search(jnp.asarray(q), pen, sp, k=5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)

@@ -1,0 +1,90 @@
+"""Realtime inverted-list invariants: append/publish, growth, tombstone,
+compaction — the unit coverage the reference left commented out
+(tests/CMakeLists.txt:38-44 test_realtime_mem_data.cc)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gamma_tpu.realtime import invert_index as rt
+
+
+def make(nlist=4, cap=8, width=2):
+    return rt.init_state(nlist, cap, width), rt.HostPlacer(nlist, cap)
+
+
+def do_append(state, placer, list_ids, vids):
+    list_ids = np.asarray(list_ids, np.int32)
+    vids = np.asarray(vids, np.int64)
+    codes = np.tile(vids[:, None] % 251, (1, state.code_width)).astype(np.uint8)
+    pos, lens = placer.place(list_ids, vids)
+    return rt.append(state, jnp.asarray(list_ids), jnp.asarray(pos),
+                     jnp.asarray(codes), jnp.asarray(vids, jnp.int32),
+                     jnp.asarray(vids, jnp.int32), jnp.asarray(lens))
+
+
+def test_append_and_publish():
+    state, placer = make()
+    state = do_append(state, placer, [0, 1, 0, 2], [10, 11, 12, 13])
+    lens = np.asarray(state.lens)
+    np.testing.assert_array_equal(lens, [2, 1, 1, 0])
+    vids = np.asarray(state.vids)
+    assert set(vids[0, :2]) == {10, 12}
+    assert vids[1, 0] == 11
+
+
+def test_placement_is_dense_and_ordered():
+    state, placer = make()
+    state = do_append(state, placer, [3, 3, 3], [1, 2, 3])
+    np.testing.assert_array_equal(np.asarray(state.vids)[3, :3], [1, 2, 3])
+
+
+def test_grow_preserves_entries():
+    state, placer = make(cap=2)
+    state = do_append(state, placer, [0, 0], [1, 2])
+    state = rt.grow(state, 8)
+    placer.cap = 8
+    state = do_append(state, placer, [0, 0, 0], [3, 4, 5])
+    np.testing.assert_array_equal(np.asarray(state.vids)[0, :5],
+                                  [1, 2, 3, 4, 5])
+    assert np.asarray(state.lens)[0] == 5
+
+
+def test_tombstone_and_compact():
+    state, placer = make(nlist=2, cap=16)
+    state = do_append(state, placer, [0] * 10, list(range(10)))
+    # delete vids 0..5 (60% of list 0)
+    dead = np.arange(6)
+    ls, ps = placer.locate(dead)
+    state = rt.tombstone(state, jnp.asarray(ls, jnp.int32),
+                         jnp.asarray(ps, jnp.int32))
+    placer.mark_deleted(dead)
+    assert placer.deleted_fraction() >= 0.3
+    state = rt.compact_state(state)
+    placer.resync_after_compact(np.asarray(state.docids),
+                                np.asarray(state.vids),
+                                np.asarray(state.lens))
+    assert np.asarray(state.lens)[0] == 4
+    np.testing.assert_array_equal(np.asarray(state.vids)[0, :4],
+                                  [6, 7, 8, 9])
+    # codes traveled with their entries
+    np.testing.assert_array_equal(
+        np.asarray(state.codes)[0, :4, 0], [6, 7, 8, 9])
+    # placer can still locate survivors
+    ls, ps = placer.locate(np.array([8]))
+    assert ls[0] == 0 and ps[0] == 2
+
+
+def test_update_in_new_list():
+    """Update = tombstone + re-append (reference semantics when the vector
+    moves cells, realtime_mem_data.cc:305-327)."""
+    state, placer = make()
+    state = do_append(state, placer, [0], [7])
+    ls, ps = placer.locate(np.array([7]))
+    state = rt.tombstone(state, jnp.asarray(ls, jnp.int32),
+                         jnp.asarray(ps, jnp.int32))
+    state = do_append(state, placer, [1], [7])
+    # old slot dead, new slot live
+    assert np.asarray(state.docids)[0, 0] == -1
+    assert np.asarray(state.vids)[1, 0] == 7
+    ls, ps = placer.locate(np.array([7]))
+    assert ls[0] == 1
