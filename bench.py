@@ -1,0 +1,161 @@
+"""Headline benchmark: SIFT1M-geometry IVFPQ QPS at recall@10.
+
+Mirrors BASELINE.json config 2 — IVFPQ 128-d, nlist=2048, M=32, nbits=8,
+nprobe=64, exact rerank over recall_num=100 — on a synthetic clustered
+corpus (zero-egress environment: the real SIFT1M cannot be fetched; the
+clustered blobs reproduce its IVF list-occupancy geometry).  Ground truth
+is the exact on-device flat scan, so recall@10 is exact-oracle recall.
+
+Prints ONE JSON line:
+  {"metric", "value" (QPS at the measured recall), "unit", "vs_baseline",
+   plus informational extras: recall@10, insert throughput, train time}
+
+vs_baseline divides by 10_000 QPS — a generous estimate of gamma's
+multithreaded CPU QPS envelope for this config (the reference publishes no
+absolute QPS number for SIFT1M; benchs/README.md plots saturate in the
+thousands).  The BASELINE.json target is >=10x (vs_baseline >= 10).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_QPS = 10_000.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_corpus(n, d, n_clusters, rng):
+    centers = (rng.normal(size=(n_clusters, d)) * 10).astype(np.float32)
+    out = np.empty((n, d), np.float32)
+    chunk = 200_000
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        a = rng.integers(0, n_clusters, size=e - s)
+        out[s:e] = centers[a] + rng.normal(size=(e - s, d)).astype(
+            np.float32)
+    return out
+
+
+def main():
+    t_start = time.time()
+    n = int(os.environ.get("GAMMA_BENCH_N", 1_000_000))
+    d = int(os.environ.get("GAMMA_BENCH_D", 128))
+    nq = int(os.environ.get("GAMMA_BENCH_NQ", 1024))
+    batch = int(os.environ.get("GAMMA_BENCH_B", 256))
+    nlist, m, nprobe, k, recall_num = 2048, 32, 64, 10, 100
+    if n < 200_000:          # scaled-down smoke config
+        nlist = max(64, n // 256)
+
+    import jax
+    import jax.numpy as jnp
+    from gamma_tpu.config import SearchParams
+    from gamma_tpu.index.ivfpq import IVFPQIndex
+    from gamma_tpu.vector.raw_store import RawVectorStore
+
+    log(f"devices={jax.devices()} n={n} d={d} nlist={nlist} m={m} "
+        f"nprobe={nprobe}")
+    rng = np.random.default_rng(0)
+    corpus = make_corpus(n, d, 1024, rng)
+    queries = corpus[rng.choice(n, nq, replace=False)] + \
+        0.5 * rng.normal(size=(nq, d)).astype(np.float32)
+    queries = queries.astype(np.float32)
+
+    store = RawVectorStore("vec", d)
+    store.add(corpus)
+    store.flush_device()
+
+    # ---- exact f32 ground truth (one-off device scan) ----
+    qd = jnp.asarray(queries)
+    t0 = time.time()
+
+    @jax.jit
+    def exact_topk(qb, x, xn):
+        cross = jax.lax.dot_general(
+            qb, x, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dist = (jnp.sum(qb * qb, -1, keepdims=True) - 2 * cross
+                + xn[None, :])
+        nd, idx = jax.lax.top_k(-dist, k)
+        return idx
+
+    xf = jnp.asarray(corpus)
+    xn = jnp.sum(xf * xf, axis=-1)
+    gt = [np.asarray(exact_topk(qd[s: s + 256], xf, xn))
+          for s in range(0, nq, 256)]
+    gt_ids = np.concatenate(gt)
+    del xf, xn
+    log(f"ground truth: {time.time()-t0:.1f}s")
+
+    # ---- build ----
+    idx = IVFPQIndex(store, {"ncentroids": nlist, "nsubvector": m,
+                             "nprobe": nprobe})
+    t0 = time.time()
+    idx.train(corpus[: nlist * 256])
+    train_s = time.time() - t0
+    log(f"train: {train_s:.1f}s")
+
+    t0 = time.time()
+    ids = np.arange(n, dtype=np.int64)
+    add_chunk = 200_000
+    for s in range(0, n, add_chunk):
+        e = min(n, s + add_chunk)
+        idx.add(corpus[s:e], ids[s:e], ids[s:e])
+    jax.block_until_ready(idx.state.codes)
+    add_s = time.time() - t0
+    inserts_per_s = n / add_s
+    log(f"add: {add_s:.1f}s ({inserts_per_s:,.0f} inserts/s)")
+
+    # ---- recall (dense scan mode — the TPU-native ADC execution) ----
+    penalty = jnp.zeros(store.device.shape[0], jnp.float32)
+    sp = SearchParams.from_dict({
+        "scan_mode": "dense", "recall_num": recall_num,
+        "recall_target": 0.95, "has_rank": True})
+
+    def run(qb):
+        return idx.search(qb, penalty, sp, k)
+
+    found = []
+    for s in range(0, nq, batch):
+        _, docs, _ = run(qd[s: s + batch])
+        found.append(np.asarray(docs))
+    found = np.concatenate(found)
+    recall10 = float(np.mean([
+        len(set(found[i].tolist()) & set(gt_ids[i].tolist())) / k
+        for i in range(nq)]))
+    log(f"recall@10 = {recall10:.4f}")
+
+    # ---- QPS (steady state, batched) ----
+    qb = qd[:batch]
+    jax.block_until_ready(run(qb))          # warm compile
+    iters = int(os.environ.get("GAMMA_BENCH_ITERS", 50))
+    t0 = time.time()
+    for i in range(iters):
+        out = run(qb)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    qps = iters * batch / dt
+    log(f"search: {iters}x{batch} in {dt:.2f}s -> {qps:,.0f} QPS "
+        f"({dt/iters*1000:.2f} ms/batch)")
+
+    print(json.dumps({
+        "metric": "sift1m_geom_ivfpq_qps_at_recall10",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / REF_QPS, 3),
+        "recall_at_10": round(recall10, 4),
+        "inserts_per_s": round(inserts_per_s, 0),
+        "train_s": round(train_s, 1),
+        "n": n, "d": d, "nlist": nlist, "m": m, "nprobe": nprobe,
+        "batch": batch,
+        "total_wall_s": round(time.time() - t_start, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

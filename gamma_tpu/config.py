@@ -165,6 +165,8 @@ class IVFPQParams:
     bucket_init_size: int = 1000
     bucket_max_size: int = 1_280_000
     training_threshold: int = 0        # 0 → derived from indexing_size
+    # "auto" | "dense" | "gather" — see gamma_tpu/index/ivfpq.py docstring
+    scan_mode: str = "auto"
 
     @staticmethod
     def from_dict(d: Optional[Dict[str, Any]]) -> "IVFPQParams":
@@ -185,6 +187,7 @@ class IVFPQParams:
         p.bucket_init_size = int(d.get("bucket_init_size", p.bucket_init_size))
         p.bucket_max_size = int(d.get("bucket_max_size", p.bucket_max_size))
         p.training_threshold = int(d.get("training_threshold", 0))
+        p.scan_mode = str(d.get("scan_mode", "auto"))
         return p
 
 
@@ -199,6 +202,8 @@ class SearchParams:
     parallel_on_queries: bool = True   # kept for API parity; batching handles it
     has_rank: bool = True              # exact rerank with raw vectors
     l2_sqrt: bool = False
+    scan_mode: Optional[str] = None    # per-request "dense"/"gather" override
+    recall_target: float = 0.95        # ApproxTopK coarse recall (dense mode)
 
     @staticmethod
     def from_dict(d: Optional[Dict[str, Any]]) -> "SearchParams":
@@ -218,4 +223,7 @@ class SearchParams:
         p.parallel_on_queries = bool(d.get("parallel_on_queries", True))
         p.has_rank = bool(d.get("has_rank", True))
         p.l2_sqrt = bool(d.get("l2_sqrt", False))
+        if "scan_mode" in d:
+            p.scan_mode = str(d["scan_mode"])
+        p.recall_target = float(d.get("recall_target", p.recall_target))
         return p

@@ -1,0 +1,98 @@
+"""Dense (MXU) scan — the TPU-native execution of the ADC coarse pass.
+
+Why this exists: the reference's hot loop is the ADC LUT scan
+(gamma_index_ivfpq.h:403-418 — `dis = dis0 + Σ_m LUT[m][code[m]]`), a
+scalar gather-accumulate that SIMD CPUs do well.  On TPU, LUT gathers
+forfeit the MXU and run on the scalar core (measured: 3.5-5.7 s/batch for
+XLA gather formulations vs 2 ms for a matmul of the same work).  But the
+ADC distance IS an exact L2 against the PQ reconstruction:
+
+    dis0 + Σ_m ||r_m - cb[m, code_m]||²  =  ||q - (c_list + recon)||²
+
+so scanning a bf16 reconstruction matrix with one (B × d × N) MXU matmul
+computes the SAME values the reference's scanner produces, at MXU speed.
+Memory trades 2 bytes/dim (vs M bytes/vector for codes); below ~50M
+vectors/chip this is the dominant mode, above it the gathered-list path
+(ops/ivf_scan.py) takes over — the engine picks automatically.
+
+Candidate selection uses the TPU's native ApproxTopK custom call
+(jax.lax.approx_min_k) — a partial-reduce top-k built for retrieval —
+followed by exact rerank over raw vectors, mirroring the reference's
+recall_num-coarse-heap → rerank pipeline (gamma_index_ivfpq.cc:642-697).
+nprobe does not reduce work in a dense scan (the matmul touches every
+row); the scan behaves as nprobe = nlist, a strict recall superset of any
+nprobe setting.  nprobe keeps its pruning role in the gathered and
+sharded paths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gamma_tpu.ops.distances import BIG
+
+
+def _approx_min_k(dist: jnp.ndarray, k: int, recall_target: float):
+    """approx_min_k with exact fallback for tiny candidate sets."""
+    n = dist.shape[-1]
+    if n <= max(4 * k, 2048):
+        nd, idx = jax.lax.top_k(-dist, min(k, n))
+        vals = -nd
+        if k > n:
+            pad = [(0, 0)] * (vals.ndim - 1) + [(0, k - n)]
+            vals = jnp.pad(vals, pad, constant_values=BIG)
+            idx = jnp.pad(idx, pad, constant_values=-1)
+        return vals, idx
+    return jax.lax.approx_min_k(dist, k, recall_target=recall_target)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("recall_num", "k", "metric", "rerank",
+                     "recall_target"))
+def dense_scan_search(recon: jnp.ndarray,        # [N_cap, d] bf16
+                      recon_norms: jnp.ndarray,  # [N_cap] f32
+                      queries: jnp.ndarray,      # [B, d] (pre-rotated)
+                      penalty: jnp.ndarray,      # [N_cap] f32, vid-aligned
+                      raw: jnp.ndarray,          # [V_cap, d] rerank source
+                      queries_raw: jnp.ndarray,  # [B, d] unrotated (rerank)
+                      *, recall_num: int, k: int, metric: str = "l2",
+                      rerank: bool = True, recall_target: float = 0.95):
+    """→ (dists [B, k] f32, vids [B, k] i32).  vid-order scan: `penalty`
+    carries deletes + filters + not-yet-published rows as +BIG.
+
+    With OPQ, `queries` is rotated to match `recon`'s space while
+    `queries_raw`/`raw` stay unrotated — the rotation is orthogonal, so
+    exact distances agree between the two spaces."""
+    qf = queries.astype(jnp.float32)
+    cross = jax.lax.dot_general(
+        queries.astype(jnp.bfloat16), recon,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if metric == "ip":
+        dist = -cross + penalty[None, :]
+    else:
+        qn = jnp.sum(qf * qf, axis=-1, keepdims=True)
+        dist = qn - 2.0 * cross + recon_norms[None, :] + penalty[None, :]
+    dist = jnp.minimum(dist, BIG)
+
+    r = max(recall_num, k)
+    rd, rvid = _approx_min_k(dist, r, recall_target)
+    if not rerank:
+        return rd[:, :k], jnp.where(rd[:, :k] >= BIG, -1, rvid[:, :k])
+
+    qr = queries_raw.astype(jnp.float32)
+    rows = jnp.take(raw, jnp.maximum(rvid, 0), axis=0).astype(jnp.float32)
+    if metric == "ip":
+        exact = -jnp.sum(qr[:, None, :] * rows, axis=-1)
+    else:
+        diff = qr[:, None, :] - rows
+        exact = jnp.sum(diff * diff, axis=-1)
+    exact = jnp.where((rd >= BIG) | (rvid < 0), BIG, exact)
+    nd, sel = jax.lax.top_k(-exact, k)
+    ed = -nd
+    evid = jnp.take_along_axis(rvid, sel, axis=1)
+    return ed, jnp.where(ed >= BIG, -1, evid)

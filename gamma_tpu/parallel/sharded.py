@@ -1,0 +1,357 @@
+"""Multi-chip sharding of inverted lists over a jax mesh.
+
+This is the TPU-native replacement for the reference's multi-GPU path
+(index/impl/gpu/gamma_index_ivfpq_gpu.cc:588-601 — faiss::IndexShards over
+devices with a host-side merge) and, above it, Vearch's partition-server
+sharding (benchs/README.md cluster section).  Instead of NCCL + host
+merges, the inverted lists, coarse centroids, and raw vectors are sharded
+over a mesh axis ("l") and the merge rides ICI collectives inside one jit:
+
+  1. local coarse assign        — each shard scores queries against its own
+                                  centroid shard (one MXU matmul)
+  2. global probe selection     — all_gather of per-shard top-nprobe coarse
+                                  distances (tiny: [B, S*nprobe] f32) → the
+                                  global nprobe-th distance is the selection
+                                  threshold; each shard scans only its own
+                                  lists that pass it (≤ local_probe each)
+  3. local ADC scan + top-R     — identical math to the single-chip kernel,
+                                  over [B, local_probe, cap] candidates
+  4. ICI merge                  — all_gather of (dist, docid, vid) triples
+                                  [B, S*R] → top-R (replaces the reference's
+                                  OMP critical-section heap merge,
+                                  gamma_index_ivfpq.cc:848-866)
+  5. distributed exact rerank   — raw vectors are row-sharded on the same
+                                  axis; each shard contributes its rows and
+                                  a psum reassembles [B, R, d] for the
+                                  exact-distance top-k
+
+A second mesh axis ("q") shards the query batch (data parallelism); all
+collectives above run only over "l", so adding "q" costs nothing.
+
+Exactness: step 2 guarantees every globally-selected list is scanned as
+long as no single shard owns more than `local_probe` of the global
+top-nprobe lists.  With lists hashed across shards the default
+local_probe = min(nprobe, 2*ceil(nprobe/S)+2) makes overflow vanishingly
+rare; local_probe=nprobe restores the exact single-chip result.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    from jax import shard_map as _shard_map_mod  # type: ignore
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+except (ImportError, AttributeError):  # pragma: no cover - version fallback
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_rep=False)
+
+from gamma_tpu.ops import pq as pq_ops
+from gamma_tpu.ops.distances import BIG, pairwise_ip, pairwise_l2
+from gamma_tpu.ops.topk import topk_min
+from gamma_tpu.ops.ivf_scan import (_candidate_mask_penalty,
+                                    _select_candidates)
+from gamma_tpu.realtime.invert_index import IVFState
+
+LIST_AXIS = "l"    # inverted lists + raw-vector rows sharded over this
+QUERY_AXIS = "q"   # query batch sharded over this
+
+
+def build_mesh(n_list_shards: int, n_query_shards: int = 1,
+               devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    need = n_list_shards * n_query_shards
+    assert devices.size >= need, (
+        f"mesh {n_query_shards}x{n_list_shards} needs {need} devices, "
+        f"have {devices.size}")
+    grid = devices[:need].reshape(n_query_shards, n_list_shards)
+    return Mesh(grid, (QUERY_AXIS, LIST_AXIS))
+
+
+class ShardedIVFPQ(NamedTuple):
+    """Device-sharded index: lists (axis 0) and raw rows over LIST_AXIS."""
+
+    state: IVFState            # codes/vids/docids sharded on axis 0
+    centroids: jnp.ndarray     # [nlist_pad, d] sharded on axis 0
+    cent_norms: jnp.ndarray    # [nlist_pad]
+    codebooks: pq_ops.PQCodebooks   # replicated
+    raw: jnp.ndarray           # [V_pad, d] row-sharded on axis 0
+    v_per_shard: int           # static: raw rows per shard
+
+
+def _pad_axis0(x: np.ndarray, size: int, fill=0) -> np.ndarray:
+    if x.shape[0] == size:
+        return x
+    pad = np.full((size - x.shape[0],) + x.shape[1:], fill, dtype=x.dtype)
+    return np.concatenate([x, pad], axis=0)
+
+
+def shard_ivfpq(mesh: Mesh, state: IVFState, centroids, cent_norms,
+                codebooks: pq_ops.PQCodebooks, raw) -> ShardedIVFPQ:
+    """Distribute a single-chip index over the mesh.  Lists and raw rows
+    are padded to a multiple of the shard count and split contiguously:
+    shard i owns lists [i*L_loc, (i+1)*L_loc) and rows
+    [i*V_loc, (i+1)*V_loc).  docids/vids stay GLOBAL ids."""
+    s = mesh.shape[LIST_AXIS]
+    nlist = int(state.nlist)
+    l_pad = -(-nlist // s) * s
+    v = int(np.asarray(raw).shape[0])
+    v_pad = -(-v // s) * s
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    row = P(LIST_AXIS)
+    st = IVFState(
+        codes=put(_pad_axis0(np.asarray(state.codes), l_pad),
+                  P(LIST_AXIS, None, None)),
+        vids=put(_pad_axis0(np.asarray(state.vids), l_pad, -1),
+                 P(LIST_AXIS, None)),
+        docids=put(_pad_axis0(np.asarray(state.docids), l_pad, -1),
+                   P(LIST_AXIS, None)),
+        lens=put(_pad_axis0(np.asarray(state.lens), l_pad), row),
+    )
+    cents = _pad_axis0(np.asarray(centroids, np.float32), l_pad)
+    # padded centroid rows must never win coarse assign
+    if l_pad > nlist:
+        cents[nlist:] = 1e18
+    cnorms = np.sum(cents.astype(np.float64) ** 2, axis=-1
+                    ).astype(np.float32)
+    cb = pq_ops.PQCodebooks(
+        put(np.asarray(codebooks.codebooks), P()),
+        put(np.asarray(codebooks.cb_norms), P()))
+    raw_np = _pad_axis0(np.asarray(raw), v_pad)
+    return ShardedIVFPQ(
+        state=st,
+        centroids=put(cents, P(LIST_AXIS, None)),
+        cent_norms=put(cnorms, row),
+        codebooks=cb,
+        raw=put(raw_np, P(LIST_AXIS, None)),
+        v_per_shard=v_pad // s,
+    )
+
+
+# ----------------------------------------------------------------------
+# per-shard search body (runs inside shard_map)
+# ----------------------------------------------------------------------
+
+def _local_ivfpq_search(codes, vids, docids, lens, cents_l, cnorms_l,
+                        cb, cb_norms, queries, penalty, raw_l,
+                        *, nprobe, local_probe, recall_num, k, metric,
+                        rerank, v_per_shard):
+    codebooks = pq_ops.PQCodebooks(cb, cb_norms)
+    l_loc = cents_l.shape[0]
+    cap = codes.shape[1]
+    m = min(nprobe, l_loc)
+    p_loc = min(local_probe, m)
+
+    # 1. local coarse distances
+    if metric == "ip":
+        dloc = -pairwise_ip(queries, cents_l)
+    else:
+        dloc = pairwise_l2(queries, cents_l, cnorms_l)
+    local_ids = jnp.broadcast_to(
+        jnp.arange(l_loc, dtype=jnp.int32)[None, :], dloc.shape)
+    ld, lids = topk_min(dloc, local_ids, m)          # ascending
+
+    # 2. global probe threshold over ICI (tiny all_gather)
+    all_d = jax.lax.all_gather(ld, LIST_AXIS, axis=1, tiled=True)
+    n_glob = min(nprobe, all_d.shape[1])
+    gd, _ = topk_min(all_d, jnp.zeros_like(all_d, jnp.int32), n_glob)
+    thr = gd[:, n_glob - 1]                          # nprobe-th smallest
+    sel_d = ld[:, :p_loc]
+    sel_ids = lids[:, :p_loc]
+    sel_ok = sel_d <= thr[:, None]
+
+    # 3. gather + ADC scan of the selected local lists
+    codes_g = jnp.take(codes, sel_ids, axis=0)       # [B, P, cap, W]
+    vids_g = jnp.take(vids, sel_ids, axis=0)
+    docids_g = jnp.take(docids, sel_ids, axis=0)
+    lens_g = jnp.take(lens, sel_ids, axis=0)
+    if metric == "ip":
+        lut = -pq_ops.ip_lut(codebooks, queries)     # [B, M, ksub]
+        lut = jnp.broadcast_to(lut[:, None],
+                               (lut.shape[0], p_loc) + lut.shape[1:])
+        base = sel_d[..., None]                      # -q.c per probe
+    else:
+        probed = jnp.take(cents_l, sel_ids, axis=0)  # [B, P, d]
+        residual = queries.astype(jnp.float32)[:, None, :] - probed
+        lut = pq_ops.l2_lut(codebooks, residual)
+        base = 0.0
+    dist = pq_ops.adc_scan(lut, codes_g) + base
+    dist = dist + _candidate_mask_penalty(docids_g, lens_g, cap, penalty)
+    dist = dist + jnp.where(sel_ok, 0.0, BIG)[..., None]
+    dist = jnp.minimum(dist, BIG)
+    rd, rdoc, rvid = _select_candidates(dist, docids_g, vids_g, recall_num)
+
+    # 4. ICI top-k merge (replaces OMP critical heap merge)
+    rd = jax.lax.all_gather(rd, LIST_AXIS, axis=1, tiled=True)
+    rdoc = jax.lax.all_gather(rdoc, LIST_AXIS, axis=1, tiled=True)
+    rvid = jax.lax.all_gather(rvid, LIST_AXIS, axis=1, tiled=True)
+    md, sel = topk_min(rd, jnp.broadcast_to(
+        jnp.arange(rd.shape[1], dtype=jnp.int32)[None, :], rd.shape),
+        recall_num)
+    mdoc = jnp.take_along_axis(rdoc, sel, axis=1)
+    mvid = jnp.take_along_axis(rvid, sel, axis=1)
+
+    if not rerank:
+        return md[:, :k], mdoc[:, :k], mvid[:, :k]
+
+    # 5. distributed exact rerank: psum-reassemble candidate raw rows
+    my = jax.lax.axis_index(LIST_AXIS)
+    local_idx = mvid - my * v_per_shard
+    in_range = (local_idx >= 0) & (local_idx < v_per_shard) & (mvid >= 0)
+    rows_l = jnp.take(raw_l, jnp.clip(local_idx, 0, v_per_shard - 1),
+                      axis=0).astype(jnp.float32)
+    rows_l = jnp.where(in_range[..., None], rows_l, 0.0)
+    rows = jax.lax.psum(rows_l, LIST_AXIS)            # [B, R, d]
+    qf = queries.astype(jnp.float32)[:, None, :]
+    if metric == "ip":
+        exact = -jnp.sum(qf * rows, axis=-1)
+    else:
+        diff = qf - rows
+        exact = jnp.sum(diff * diff, axis=-1)
+    exact = jnp.where((md >= BIG) | (mvid < 0), BIG, exact)
+    ed, eidx = topk_min(exact, jnp.broadcast_to(
+        jnp.arange(md.shape[1], dtype=jnp.int32)[None, :], exact.shape), k)
+    fdoc = jnp.take_along_axis(mdoc, eidx, axis=1)
+    fvid = jnp.take_along_axis(mvid, eidx, axis=1)
+    dead = ed >= BIG
+    return ed, jnp.where(dead, -1, fdoc), jnp.where(dead, -1, fvid)
+
+
+def sharded_ivfpq_search_fn(mesh: Mesh, *, nprobe: int, recall_num: int,
+                            k: int, metric: str = "l2",
+                            rerank: bool = True,
+                            local_probe: Optional[int] = None,
+                            v_per_shard: int):
+    """Build the jitted sharded search step for a fixed geometry.
+
+    Returned fn: (sharded: ShardedIVFPQ, queries [B, d], penalty [N_cap])
+    → (dists [B, k], docids [B, k], vids [B, k]), replicated over "l",
+    sharded over "q".  Queries must be pre-sharded (or replicated) on the
+    mesh; B must divide by the "q" axis size.
+    """
+    s = mesh.shape[LIST_AXIS]
+    if local_probe is None:
+        local_probe = min(nprobe, 2 * (-(-nprobe // s)) + 2)
+
+    body = functools.partial(
+        _local_ivfpq_search, nprobe=nprobe, local_probe=local_probe,
+        recall_num=recall_num, k=k, metric=metric, rerank=rerank,
+        v_per_shard=v_per_shard)
+
+    lists3 = P(LIST_AXIS, None, None)
+    lists2 = P(LIST_AXIS, None)
+    lists1 = P(LIST_AXIS)
+    rep = P()
+    qrow = P(QUERY_AXIS, None)
+    fn = shard_map(
+        body, mesh,
+        in_specs=(lists3, lists2, lists2, lists1,       # state
+                  lists2, lists1,                       # centroids
+                  rep, rep,                             # codebooks
+                  qrow, rep,                            # queries, penalty
+                  lists2),                              # raw rows
+        out_specs=(qrow, qrow, qrow))
+
+    @jax.jit
+    def search(sharded: ShardedIVFPQ, queries, penalty):
+        st = sharded.state
+        return fn(st.codes, st.vids, st.docids, st.lens,
+                  sharded.centroids, sharded.cent_norms,
+                  sharded.codebooks.codebooks, sharded.codebooks.cb_norms,
+                  queries, penalty, sharded.raw)
+
+    return search
+
+
+# ----------------------------------------------------------------------
+# sharded brute-force (FLAT over row-sharded corpus)
+# ----------------------------------------------------------------------
+
+def sharded_flat_search_fn(mesh: Mesh, *, k: int, metric: str = "l2",
+                           v_per_shard: int):
+    """Exact search over a row-sharded corpus: local scan + ICI merge."""
+
+    def body(raw_l, norms_l, queries, penalty_l):
+        my = jax.lax.axis_index(LIST_AXIS)
+        if metric == "ip":
+            d = -pairwise_ip(queries, raw_l)
+        else:
+            d = pairwise_l2(queries, raw_l, norms_l)
+        d = jnp.minimum(d + penalty_l[None, :], BIG)
+        gids = (my * v_per_shard
+                + jnp.arange(v_per_shard, dtype=jnp.int32))
+        ld, lid = topk_min(d, jnp.broadcast_to(gids[None, :], d.shape), k)
+        ld = jax.lax.all_gather(ld, LIST_AXIS, axis=1, tiled=True)
+        lid = jax.lax.all_gather(lid, LIST_AXIS, axis=1, tiled=True)
+        return topk_min(ld, lid, k)
+
+    lists2 = P(LIST_AXIS, None)
+    qrow = P(QUERY_AXIS, None)
+    fn = shard_map(body, mesh,
+                   in_specs=(lists2, P(LIST_AXIS), qrow, P(LIST_AXIS)),
+                   out_specs=(qrow, qrow))
+    return jax.jit(fn)
+
+
+# ----------------------------------------------------------------------
+# data-parallel k-means (sharded training step)
+# ----------------------------------------------------------------------
+
+def sharded_kmeans_fit(mesh: Mesh, x, init, *, k: int, iters: int = 10):
+    """Lloyd iterations with the train set row-sharded over the FULL mesh
+    (both axes): each device assigns its rows and psums partial
+    (sums, counts).  The device-count analog of the reference handing
+    training to faiss on one host (gamma_index_ivfpq.cc:346)."""
+    n_dev = mesh.devices.size
+    x = np.asarray(x, np.float32)
+    n = x.shape[0]
+    n_pad = -(-n // n_dev) * n_dev
+    xp = _pad_axis0(x, n_pad)
+    valid = (np.arange(n_pad) < n).astype(np.float32)
+    axes = (QUERY_AXIS, LIST_AXIS)
+
+    def body(x_l, w_l, cents):
+        def one_iter(_, c):
+            cn = jnp.sum(c * c, axis=-1)
+            a = jnp.argmin(pairwise_l2(x_l, c, cn), axis=-1)
+            onehot = jax.nn.one_hot(a, k, dtype=jnp.float32) * w_l[:, None]
+            sums = jax.lax.dot_general(
+                onehot, x_l, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sums = jax.lax.psum(sums, axes)
+            counts = jax.lax.psum(jnp.sum(onehot, axis=0), axes)
+            new = sums / jnp.maximum(counts, 1.0)[:, None]
+            return jnp.where(counts[:, None] > 0, new, c)
+
+        cents = jax.lax.fori_loop(0, iters, one_iter, cents)
+        cn = jnp.sum(cents * cents, axis=-1)
+        a = jnp.argmin(pairwise_l2(x_l, cents, cn), axis=-1)
+        onehot = jax.nn.one_hot(a, k, dtype=jnp.float32) * w_l[:, None]
+        counts = jax.lax.psum(jnp.sum(onehot, axis=0), axes)
+        return cents, counts
+
+    rows = P((QUERY_AXIS, LIST_AXIS), None)
+    rows1 = P((QUERY_AXIS, LIST_AXIS))
+    fn = shard_map(body, mesh, in_specs=(rows, rows1, P()),
+                   out_specs=(P(), P()))
+    put = functools.partial(jax.device_put)
+    xs = jax.device_put(xp, NamedSharding(mesh, rows))
+    ws = jax.device_put(valid, NamedSharding(mesh, rows1))
+    ci = jax.device_put(np.asarray(init, np.float32),
+                        NamedSharding(mesh, P()))
+    return jax.jit(fn)(xs, ws, ci)

@@ -1,0 +1,146 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Validates that sharding inverted lists + raw rows over the "l" axis (and
+queries over "q") reproduces the single-chip search results, and that the
+data-parallel k-means matches the single-device k-means objective.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gamma_tpu.index.ivfpq import IVFPQIndex
+from gamma_tpu.ops import ivf_scan
+from gamma_tpu.ops.distances import BIG, pairwise_l2
+from gamma_tpu.parallel import (build_mesh, shard_ivfpq,
+                                sharded_flat_search_fn,
+                                sharded_ivfpq_search_fn, sharded_kmeans_fit)
+from gamma_tpu.vector.raw_store import RawVectorStore
+
+
+def _build_index(corpus, nlist=64, m=8):
+    store = RawVectorStore("vec", corpus.shape[1])
+    store.add(corpus)
+    store.flush_device()
+    idx = IVFPQIndex(store, {"ncentroids": nlist, "nsubvector": m,
+                             "nprobe": 16})
+    idx.train(corpus)
+    n = corpus.shape[0]
+    ids = np.arange(n, dtype=np.int64)
+    idx.add(corpus, ids, ids)
+    return store, idx
+
+
+@pytest.fixture(scope="module")
+def built(corpus_medium):
+    return _build_index(corpus_medium)
+
+
+def _single_chip(store, idx, q, penalty, nprobe, recall, k, rerank=True):
+    return ivf_scan.ivfpq_search(
+        idx.state, idx.centroids, idx.cent_norms, idx.pq,
+        q, penalty, store.device,
+        nprobe=nprobe, recall_num=recall, k=k, metric="l2", rerank=rerank)
+
+
+def test_sharded_matches_single_chip(built, rng):
+    store, idx = built
+    mesh = build_mesh(n_list_shards=4, n_query_shards=2)
+    sh = shard_ivfpq(mesh, idx.state, idx.centroids, idx.cent_norms,
+                     idx.pq, store.device)
+    nprobe, recall, k = 16, 64, 10
+    penalty = jnp.zeros(store.n + 64, jnp.float32)
+    q = jnp.asarray(rng.normal(size=(16, store.d)).astype(np.float32))
+
+    # local_probe=nprobe → provably identical candidate set
+    search = sharded_ivfpq_search_fn(
+        mesh, nprobe=nprobe, recall_num=recall, k=k, metric="l2",
+        rerank=True, local_probe=nprobe, v_per_shard=sh.v_per_shard)
+    sd, sdoc, svid = jax.tree.map(np.asarray, search(sh, q, penalty))
+    rd, rdoc, rvid = jax.tree.map(
+        np.asarray, _single_chip(store, idx, q, penalty, nprobe, recall, k))
+    np.testing.assert_allclose(sd, rd, rtol=1e-4, atol=1e-3)
+    # docids must agree wherever distances are distinct
+    agree = (sdoc == rdoc).mean()
+    assert agree > 0.95, f"docid agreement {agree}"
+
+
+def test_sharded_default_local_probe_recall(built, rng):
+    """Default (work-split) local_probe loses almost nothing vs exact."""
+    store, idx = built
+    mesh = build_mesh(n_list_shards=8, n_query_shards=1)
+    sh = shard_ivfpq(mesh, idx.state, idx.centroids, idx.cent_norms,
+                     idx.pq, store.device)
+    penalty = jnp.zeros(store.n + 64, jnp.float32)
+    q = jnp.asarray(rng.normal(size=(8, store.d)).astype(np.float32))
+    search = sharded_ivfpq_search_fn(
+        mesh, nprobe=16, recall_num=64, k=10, metric="l2", rerank=True,
+        v_per_shard=sh.v_per_shard)
+    sd, sdoc, _ = jax.tree.map(np.asarray, search(sh, q, penalty))
+    rd, rdoc, _ = jax.tree.map(
+        np.asarray, _single_chip(store, idx, q, penalty, 16, 64, 10))
+    overlap = np.mean([
+        len(set(sdoc[i]) & set(rdoc[i])) / 10 for i in range(8)])
+    assert overlap >= 0.9, f"top-10 overlap {overlap}"
+
+
+def test_sharded_respects_penalty(built, rng):
+    store, idx = built
+    mesh = build_mesh(n_list_shards=4, n_query_shards=2)
+    sh = shard_ivfpq(mesh, idx.state, idx.centroids, idx.cent_norms,
+                     idx.pq, store.device)
+    pen = np.zeros(store.n + 64, np.float32)
+    pen[::2] = BIG   # mask all even docids
+    q = jnp.asarray(rng.normal(size=(8, store.d)).astype(np.float32))
+    search = sharded_ivfpq_search_fn(
+        mesh, nprobe=16, recall_num=64, k=10, metric="l2", rerank=True,
+        local_probe=16, v_per_shard=sh.v_per_shard)
+    _, sdoc, _ = jax.tree.map(
+        np.asarray, search(sh, q, jnp.asarray(pen)))
+    live = sdoc[sdoc >= 0]
+    assert live.size and np.all(live % 2 == 1)
+
+
+def test_sharded_flat_exact(corpus_small, rng):
+    n, d = corpus_small.shape
+    mesh = build_mesh(n_list_shards=4, n_query_shards=2)
+    s = 4
+    v_pad = -(-n // s) * s
+    raw = np.zeros((v_pad, d), np.float32)
+    raw[:n] = corpus_small
+    norms = np.sum(raw.astype(np.float64) ** 2, -1).astype(np.float32)
+    pen = np.zeros(v_pad, np.float32)
+    pen[n:] = BIG
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    raw_d = jax.device_put(raw, NamedSharding(mesh, P("l", None)))
+    norms_d = jax.device_put(norms, NamedSharding(mesh, P("l")))
+    pen_d = jax.device_put(pen, NamedSharding(mesh, P("l")))
+    q = rng.normal(size=(16, d)).astype(np.float32)
+    fn = sharded_flat_search_fn(mesh, k=5, metric="l2",
+                                v_per_shard=v_pad // s)
+    sd, sid = jax.tree.map(np.asarray, fn(raw_d, norms_d, jnp.asarray(q),
+                                          pen_d))
+    # numpy oracle
+    ref = ((q[:, None, :] - corpus_small[None]) ** 2).sum(-1)
+    oid = np.argsort(ref, axis=1)[:, :5]
+    assert (np.sort(sid, 1) == np.sort(oid, 1)).mean() > 0.99
+
+
+def test_sharded_kmeans_matches_single(corpus_small):
+    k = 16
+    init = corpus_small[:k]
+    mesh = build_mesh(n_list_shards=4, n_query_shards=2)
+    cents, counts = sharded_kmeans_fit(mesh, corpus_small, init, k=k,
+                                       iters=8)
+    cents = np.asarray(cents)
+    assert np.asarray(counts).sum() == corpus_small.shape[0]
+    # objective should be near the single-device k-means objective
+    from gamma_tpu.ops import kmeans as km
+    ref_c, _ = km.kmeans_fit(jnp.asarray(corpus_small), jnp.asarray(init),
+                             k=k, iters=8)
+    def obj(c):
+        d = np.asarray(pairwise_l2(jnp.asarray(corpus_small),
+                                   jnp.asarray(c)))
+        return d.min(axis=1).mean()
+    assert obj(cents) <= obj(np.asarray(ref_c)) * 1.05
