@@ -1,0 +1,157 @@
+"""C-API-shaped surface: the reference's 24 extern-C entry points
+(c_api/gamma_api.h:20-206), operating on wire-format bytes.
+
+Every function takes/returns serialized messages (gamma_tpu/idl/wire.py)
+plus an opaque engine handle, mirroring the reference's contract where
+every call crosses a serialization boundary (flatbuffers there).  A
+non-Python client (or a future CPython C extension / socket server) can
+speak this surface without touching the object model.
+
+The no-serialization variant (reference: gamma_cpp_api.cc) is simply the
+GammaEngine object API itself.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Tuple
+
+from gamma_tpu.api.request import Request
+from gamma_tpu.engine import GammaEngine
+from gamma_tpu.idl import wire
+
+_engines: Dict[int, GammaEngine] = {}
+_next_handle = [1]
+_lock = threading.Lock()
+
+
+def _get(handle: int) -> GammaEngine:
+    eng = _engines.get(handle)
+    if eng is None:
+        raise KeyError(f"invalid engine handle {handle}")
+    return eng
+
+
+# ---- lifecycle (reference: Init :33, Close :56) ----
+
+def Init(config_bytes: bytes) -> int:
+    cfg = wire.unpack_config(config_bytes)
+    eng = GammaEngine(cfg)
+    with _lock:
+        h = _next_handle[0]
+        _next_handle[0] += 1
+        _engines[h] = eng
+    return h
+
+
+def Close(handle: int) -> int:
+    with _lock:
+        eng = _engines.pop(handle, None)
+    if eng is None:
+        return -1
+    eng.close()
+    return 0
+
+
+# ---- table (reference: CreateTable :98, Load :?) ----
+
+def CreateTable(handle: int, table_bytes: bytes) -> int:
+    return _get(handle).create_table(wire.unpack_table(table_bytes))
+
+
+# ---- ingest (reference: AddOrUpdateDocs :129, UpdateDoc, DeleteDoc) ----
+
+def AddOrUpdateDoc(handle: int, doc_bytes: bytes) -> int:
+    return _get(handle).add_or_update_doc(wire.unpack_doc(doc_bytes))
+
+
+def AddOrUpdateDocs(handle: int, docs_bytes: bytes) -> bytes:
+    codes = _get(handle).add_or_update_docs(wire.unpack_docs(docs_bytes))
+    return wire.pack_batch_result(codes)
+
+
+def UpdateDoc(handle: int, doc_bytes: bytes) -> int:
+    return AddOrUpdateDoc(handle, doc_bytes)
+
+
+def DeleteDoc(handle: int, key: bytes) -> int:
+    return _get(handle).delete(key.decode() if isinstance(key, bytes)
+                               else key)
+
+
+def DelDocByQuery(handle: int, request_bytes: bytes) -> int:
+    return _get(handle).del_doc_by_query(
+        wire.unpack_request(request_bytes))
+
+
+# ---- reads (reference: GetDocByID :?, Search :147) ----
+
+def GetDocByID(handle: int, key: bytes) -> Optional[bytes]:
+    doc = _get(handle).get_doc_by_key(
+        key.decode() if isinstance(key, bytes) else key)
+    if doc is None:
+        return None
+    from gamma_tpu.api.doc import Doc
+    key_v = doc.pop("_id", None)
+    vectors = {k: v for k, v in doc.items()
+               if hasattr(v, "shape")}
+    fields = {k: v for k, v in doc.items() if k not in vectors}
+    return wire.pack_doc(Doc(key=key_v, fields=fields, vectors=vectors))
+
+
+def Search(handle: int, request_bytes: bytes) -> bytes:
+    resp = _get(handle).search(wire.unpack_request(request_bytes))
+    return wire.pack_response(resp)
+
+
+# ---- index lifecycle (reference: BuildIndex, GetEngineStatus) ----
+
+def BuildIndex(handle: int) -> int:
+    return _get(handle).build_index()
+
+
+def GetEngineStatus(handle: int) -> bytes:
+    return wire.pack_status(_get(handle).engine_status())
+
+
+# ---- maintenance (reference: Dump :?, Load :?) ----
+
+def Dump(handle: int) -> int:
+    return _get(handle).dump()
+
+
+def Load(handle: int) -> int:
+    return _get(handle).load()
+
+
+def Flush(handle: int) -> int:
+    _get(handle).flush()
+    return 0
+
+
+# ---- config introspection (reference: GetConfig/SetConfig) ----
+
+def GetConfig(handle: int) -> bytes:
+    return wire.pack_config(_get(handle).config)
+
+
+def SetConfig(handle: int, config_bytes: bytes) -> int:
+    cfg = wire.unpack_config(config_bytes)
+    eng = _get(handle)
+    eng.config.max_concurrent = cfg.max_concurrent
+    return 0
+
+
+# ---- migration (reference: gamma_api.h:194-206) ----
+
+def BeginMigrate(handle: int) -> int:
+    return _get(handle).begin_migrate()
+
+
+def GetMigrateDoc(handle: int, batch: int = 1
+                  ) -> List[Tuple[dict, bool]]:
+    return _get(handle).get_migrate_doc(batch)
+
+
+def TerminateMigrate(handle: int) -> int:
+    return _get(handle).terminate_migrate()

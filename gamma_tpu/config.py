@@ -204,6 +204,7 @@ class SearchParams:
     l2_sqrt: bool = False
     scan_mode: Optional[str] = None    # per-request "dense"/"gather" override
     recall_target: float = 0.95        # ApproxTopK coarse recall (dense mode)
+    ef_search: Optional[int] = None    # HNSW beam width (reference: efSearch)
 
     @staticmethod
     def from_dict(d: Optional[Dict[str, Any]]) -> "SearchParams":
@@ -226,4 +227,6 @@ class SearchParams:
         if "scan_mode" in d:
             p.scan_mode = str(d["scan_mode"])
         p.recall_target = float(d.get("recall_target", p.recall_target))
+        if "efSearch" in d or "ef_search" in d:
+            p.ef_search = int(d.get("efSearch", d.get("ef_search")))
         return p

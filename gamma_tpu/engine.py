@@ -417,15 +417,13 @@ class GammaEngine:
                 np.maximum(rows_np, 0)) if store.vid_mgr.multi else rows_np)
             docids_np = np.where(rows_np < 0, -1, docids_np)
         else:
-            from gamma_tpu.index.flat import FlatIndex
-            if isinstance(model, FlatIndex):
-                pen = self._penalty_for_store(pen_doc, store)
-            else:
-                pen = pen_doc
+            row_space = model.penalty_space == "row"
+            pen = (self._penalty_for_store(pen_doc, store)
+                   if row_space else pen_doc)
             dists, docids, vids = model.search(qd, pen, sp, k)
             dists_np = np.asarray(dists)[:b]
             docids_np = np.asarray(docids)[:b]
-            if isinstance(model, FlatIndex) and store.vid_mgr.multi:
+            if row_space and store.vid_mgr.multi:
                 rows_np = docids_np
                 docids_np = np.where(
                     rows_np < 0, -1,
@@ -502,7 +500,7 @@ class GammaEngine:
             field_range_mem_bytes=(self.range_index.mem_bytes()
                                    if self.range_index else 0),
             bitmap_mem_bytes=self.bitmap.mem_bytes(),
-            doc_count=(len(self.table.key2doc) if self.table else 0),
+            doc_count=(self.table.key_count() if self.table else 0),
             max_docid=self.max_docid,
             min_indexed_num=self.vm.min_indexed_num(),
             delete_num=self.delete_num,

@@ -86,6 +86,7 @@ class BinaryIVFIndex(RetrievalModel):
         assert self._trained
         if x.shape[0] == 0:
             return
+        x = np.asarray(x, np.float32)   # bit packing is host-side
         list_ids = self._assign(x)
         codes = jnp.asarray(pack_bits_np(x))
         need = self.placer.required_cap(list_ids)

@@ -23,6 +23,8 @@ from gamma_tpu.vector.raw_store import RawVectorStore
 
 @register_model("FLAT")
 class FlatIndex(RetrievalModel):
+    penalty_space = "row"
+
     def __init__(self, raw_store: RawVectorStore,
                  params: Optional[Dict[str, Any]] = None):
         super().__init__(raw_store, params)

@@ -201,15 +201,22 @@ class IVFPQIndex(RetrievalModel):
                                 jnp.ndarray]:
         """One fused jit: rotate → assign → residual-encode → reconstruct.
         Rows are padded to a shape quantum (device outputs stay padded;
-        the np list_ids are sliced back to n).
+        the np list_ids are sliced back to n).  `x` may be a DEVICE array
+        (e.g. the raw store's bf16 mirror) — the ingest path uses this to
+        avoid re-uploading vectors over the host link.
         → (list_ids np [n], codes [n_pad, M] u8, recon bf16 [n_pad, d],
            recon_norms f32 [n_pad])."""
         n = x.shape[0]
         n_pad = _pad_quantum(n)
-        xp = np.zeros((n_pad, self.d), np.float32)
-        xp[:n] = x
+        if isinstance(x, jnp.ndarray):
+            xp = (jnp.pad(x, ((0, n_pad - n), (0, 0)))
+                  if n_pad != n else x)
+        else:
+            xp_np = np.zeros((n_pad, self.d), np.float32)
+            xp_np[:n] = x
+            xp = jnp.asarray(xp_np)
         assign, codes, recon, rnorms = _encode_full(
-            jnp.asarray(xp), self.centroids, self.cent_norms,
+            xp, self.centroids, self.cent_norms,
             self.pq.codebooks, self.pq.cb_norms,
             self.opq_rot if self.opq_rot is not None
             else jnp.zeros((0, 0), jnp.float32),

@@ -20,6 +20,10 @@ from gamma_tpu.vector.raw_store import RawVectorStore
 
 class RetrievalModel(abc.ABC):
     model_name = "ABSTRACT"
+    # which id space the search() penalty indexes: "doc" (docid-aligned)
+    # or "row" (raw-store vid/row-aligned, for models that scan the
+    # store mirror directly)
+    penalty_space = "doc"
 
     def __init__(self, raw_store: RawVectorStore,
                  params: Optional[Dict[str, Any]] = None):

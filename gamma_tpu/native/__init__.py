@@ -1,0 +1,234 @@
+"""ctypes bindings for libgamma_host — the native host runtime.
+
+The C++ library (native/gamma_host.cc) provides the host-side storage
+engine (mmap segments + async-sync writer thread), the file-backed bitmap,
+and the sharded key→docid map — the TPU-native equivalents of the
+reference's StorageManager/AsyncWriter (storage/), BitmapManager (util/),
+and libcuckoo map (table/table.h:185).
+
+Every wrapper has a pure-Python fallback (`available() == False`) so the
+package works where the .so has not been built; `build()` compiles it
+in-place with g++.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SO = os.path.join(_REPO, "native", "libgamma_host.so")
+
+
+def build() -> bool:
+    try:
+        subprocess.run([os.path.join(_REPO, "native", "build.sh")],
+                       check=True, capture_output=True)
+        return _load() is not None
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if not os.path.exists(_SO):
+        return None
+    lib = ctypes.CDLL(_SO)
+    c = ctypes.c_char_p
+    i64 = ctypes.c_int64
+    vp = ctypes.c_void_p
+    sig = {
+        "gsm_open": ([c, c, i64, i64, i64], vp),
+        "gsm_size": ([vp], i64),
+        "gsm_add": ([vp, ctypes.c_void_p, i64], i64),
+        "gsm_get_range": ([vp, i64, i64, ctypes.c_void_p], ctypes.c_int),
+        "gsm_update": ([vp, i64, ctypes.c_void_p], ctypes.c_int),
+        "gsm_add_str": ([vp, c, i64], i64),
+        "gsm_get_str": ([vp, i64, ctypes.c_char_p, i64], i64),
+        "gsm_sync": ([vp], ctypes.c_int),
+        "gsm_truncate": ([vp, i64], ctypes.c_int),
+        "gsm_close": ([vp], None),
+        "gbm_open": ([c, i64], vp),
+        "gbm_set": ([vp, i64], ctypes.c_int),
+        "gbm_unset": ([vp, i64], ctypes.c_int),
+        "gbm_test": ([vp, i64], ctypes.c_int),
+        "gbm_count": ([vp], i64),
+        "gbm_fill_bytes": ([vp, ctypes.c_void_p, i64], ctypes.c_int),
+        "gbm_sync": ([vp], ctypes.c_int),
+        "gbm_close": ([vp], None),
+        "gkm_new": ([], vp),
+        "gkm_free": ([vp], None),
+        "gkm_put": ([vp, c, i64, i64], i64),
+        "gkm_get": ([vp, c, i64], i64),
+        "gkm_del": ([vp, c, i64], i64),
+        "gkm_size": ([vp], i64),
+        "gkm_dump": ([vp, c], ctypes.c_int),
+        "gkm_load": ([vp, c], ctypes.c_int),
+    }
+    for name, (argtypes, restype) in sig.items():
+        fn = getattr(lib, name)
+        fn.argtypes = argtypes
+        fn.restype = restype
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeStorage:
+    """Append-only segmented store of fixed-size items + string heap."""
+
+    def __init__(self, directory: str, name: str, item_size: int,
+                 segment_items: int = 500_000,
+                 str_bytes_per_seg: int = 64 << 20):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("libgamma_host.so not built")
+        self._lib = lib
+        os.makedirs(directory, exist_ok=True)
+        self.item_size = item_size
+        self._h = lib.gsm_open(directory.encode(), name.encode(),
+                               item_size, segment_items, str_bytes_per_seg)
+        if not self._h:
+            raise RuntimeError("gsm_open failed")
+
+    def __len__(self) -> int:
+        return int(self._lib.gsm_size(self._h))
+
+    def add(self, items: np.ndarray) -> int:
+        items = np.ascontiguousarray(items)
+        assert items.nbytes % self.item_size == 0
+        n = items.nbytes // self.item_size
+        return int(self._lib.gsm_add(
+            self._h, items.ctypes.data_as(ctypes.c_void_p), n))
+
+    def get_range(self, start: int, count: int,
+                  dtype=np.uint8) -> np.ndarray:
+        out = np.empty(count * self.item_size, np.uint8)
+        rc = self._lib.gsm_get_range(
+            self._h, start, count, out.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            raise IndexError(f"get_range({start},{count})")
+        return out.view(dtype)
+
+    def update(self, idx: int, item: np.ndarray) -> None:
+        item = np.ascontiguousarray(item)
+        assert item.nbytes == self.item_size
+        if self._lib.gsm_update(
+                self._h, idx, item.ctypes.data_as(ctypes.c_void_p)) != 0:
+            raise IndexError(f"update({idx})")
+
+    def add_str(self, s: bytes) -> int:
+        return int(self._lib.gsm_add_str(self._h, s, len(s)))
+
+    def get_str(self, handle: int) -> bytes:
+        buf = ctypes.create_string_buffer(256)
+        n = self._lib.gsm_get_str(self._h, handle, buf, 256)
+        if n < 0:
+            raise IndexError(f"get_str({handle})")
+        if n <= 256:
+            return buf.raw[:n]
+        buf = ctypes.create_string_buffer(int(n))
+        self._lib.gsm_get_str(self._h, handle, buf, n)
+        return buf.raw[:n]
+
+    def sync(self) -> None:
+        self._lib.gsm_sync(self._h)
+
+    def truncate(self, n_items: int) -> None:
+        self._lib.gsm_truncate(self._h, n_items)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.gsm_close(self._h)
+            self._h = None
+
+
+class NativeBitmap:
+    def __init__(self, path: str, nbits: int = 500_000_000):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("libgamma_host.so not built")
+        self._lib = lib
+        self._h = lib.gbm_open(path.encode(), nbits)
+        if not self._h:
+            raise RuntimeError("gbm_open failed")
+
+    def set(self, bit: int) -> None:
+        self._lib.gbm_set(self._h, bit)
+
+    def unset(self, bit: int) -> None:
+        self._lib.gbm_unset(self._h, bit)
+
+    def test(self, bit: int) -> bool:
+        return bool(self._lib.gbm_test(self._h, bit))
+
+    def count(self) -> int:
+        return int(self._lib.gbm_count(self._h))
+
+    def as_bool_array(self, nbits: int) -> np.ndarray:
+        out = np.zeros(nbits, np.uint8)
+        self._lib.gbm_fill_bytes(
+            self._h, out.ctypes.data_as(ctypes.c_void_p), nbits)
+        return out.astype(bool)
+
+    def sync(self) -> None:
+        self._lib.gbm_sync(self._h)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.gbm_close(self._h)
+            self._h = None
+
+
+class NativeKeyMap:
+    """Concurrent key(str/bytes) → docid map (libcuckoo analog)."""
+
+    def __init__(self):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("libgamma_host.so not built")
+        self._lib = lib
+        self._h = lib.gkm_new()
+
+    @staticmethod
+    def _k(key) -> bytes:
+        if isinstance(key, bytes):
+            return key
+        return str(key).encode()
+
+    def put(self, key, docid: int) -> int:
+        k = self._k(key)
+        return int(self._lib.gkm_put(self._h, k, len(k), docid))
+
+    def get(self, key) -> int:
+        k = self._k(key)
+        return int(self._lib.gkm_get(self._h, k, len(k)))
+
+    def delete(self, key) -> int:
+        k = self._k(key)
+        return int(self._lib.gkm_del(self._h, k, len(k)))
+
+    def __len__(self) -> int:
+        return int(self._lib.gkm_size(self._h))
+
+    def dump(self, path: str) -> None:
+        self._lib.gkm_dump(self._h, path.encode())
+
+    def load(self, path: str) -> None:
+        self._lib.gkm_load(self._h, path.encode())
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.gkm_free(self._h)
+            self._h = None

@@ -7,9 +7,11 @@ StorageManager segments, with a libcuckoo `_id`→docid map.
 TPU-native split: fixed-width fields are COLUMNS (one numpy array per
 field, grow-by-doubling) — columnar because the device consumes whole
 columns to evaluate filters; strings live in a host-side arena; the key
-map is a Python dict (single-writer, GIL-consistent reads).  Columns of
-indexed numeric fields keep a device mirror for on-device filter
-evaluation (see table/range_index.py).
+map uses the native sharded-lock C++ map (gamma_tpu.native.NativeKeyMap,
+the libcuckoo analog) when libgamma_host.so is built, else a Python dict.
+Keys are compared by their string form (the reference's _id is bytes).
+Columns of indexed numeric fields keep a device mirror for on-device
+filter evaluation (see table/range_index.py).
 """
 
 from __future__ import annotations
@@ -21,7 +23,43 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from gamma_tpu import native
 from gamma_tpu.config import DataType, FIXED_WIDTH_NUMPY, FieldInfo
+
+
+class _DictKeyMap:
+    """Fallback key→docid map with the NativeKeyMap interface."""
+
+    def __init__(self):
+        self.m: Dict[str, int] = {}
+
+    def put(self, key: str, docid: int) -> int:
+        old = self.m.get(key, -1)
+        self.m[key] = docid
+        return old
+
+    def get(self, key: str) -> int:
+        return self.m.get(key, -1)
+
+    def delete(self, key: str) -> int:
+        return self.m.pop(key, -1)
+
+    def __len__(self) -> int:
+        return len(self.m)
+
+    def dump(self, path: str) -> None:
+        with open(path, "wb") as f:
+            pickle.dump(self.m, f)
+
+    def load(self, path: str) -> None:
+        with open(path, "rb") as f:
+            self.m = pickle.load(f)
+
+
+def _make_keymap():
+    if native.available():
+        return native.NativeKeyMap()
+    return _DictKeyMap()
 
 
 class StringHeap:
@@ -76,7 +114,7 @@ class Table:
             else:
                 self.columns[f.name] = np.zeros(
                     init_cap, dtype=FIXED_WIDTH_NUMPY[f.data_type])
-        self.key2doc: Dict[Any, int] = {}
+        self.keymap = _make_keymap()
         self.doc_keys: List[Any] = []
 
     def _grow(self, need: int) -> None:
@@ -106,7 +144,7 @@ class Table:
                 else:
                     self.columns[name][docid] = (
                         0 if v is None else v)
-            self.key2doc[key] = docid
+            self.keymap.put(str(key), docid)
             self.doc_keys.append(key)
             self.n = docid + 1
             return docid
@@ -123,7 +161,10 @@ class Table:
                     self.columns[name][docid] = v
 
     def docid_by_key(self, key: Any) -> int:
-        return self.key2doc.get(key, -1)
+        return self.keymap.get(str(key))
+
+    def key_count(self) -> int:
+        return len(self.keymap)
 
     def key_by_docid(self, docid: int) -> Any:
         if 0 <= docid < len(self.doc_keys):
@@ -132,8 +173,7 @@ class Table:
 
     def delete_key(self, key: Any) -> int:
         with self._lock:
-            docid = self.key2doc.pop(key, -1)
-            return docid
+            return self.keymap.delete(str(key))
 
     def get_doc(self, docid: int,
                 field_names: Optional[List[str]] = None) -> Dict[str, Any]:
@@ -167,11 +207,11 @@ class Table:
             "heaps": {k: (bytes(h.buf), h.offsets[: h.n].copy(),
                           h.lengths[: h.n].copy())
                       for k, h in self.heaps.items()},
-            "key2doc": self.key2doc,
             "doc_keys": self.doc_keys,
         }
         with open(os.path.join(path, "table.pkl"), "wb") as f:
             pickle.dump(state, f)
+        self.keymap.dump(os.path.join(path, "table.keys"))
 
     def load(self, path: str, doc_num: Optional[int] = None) -> int:
         fp = os.path.join(path, "table.pkl")
@@ -193,5 +233,12 @@ class Table:
             h.n = len(offs)
             self.heaps[k] = h
         self.doc_keys = state["doc_keys"][: n]
-        self.key2doc = {k: d for k, d in state["key2doc"].items() if d < n}
+        self.keymap = _make_keymap()
+        kp = os.path.join(path, "table.keys")
+        if os.path.exists(kp):
+            self.keymap.load(kp)
+            # load-truncate consistency: drop keys beyond the doc count
+            for d in range(n, state["n"]):
+                if d < len(state["doc_keys"]):
+                    self.keymap.delete(str(state["doc_keys"][d]))
         return n

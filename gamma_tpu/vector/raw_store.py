@@ -201,6 +201,14 @@ class RawVectorStore:
     def flushed(self) -> int:
         return self._flushed
 
+    def device_rows(self, start: int, end: int) -> jnp.ndarray:
+        """Device-resident rows [start, end) from the mirror — lets the
+        ingest path encode without re-uploading over the host link.
+        Caller must ensure end <= flushed."""
+        assert end <= self._flushed
+        return jax.lax.dynamic_slice_in_dim(self.device, start,
+                                            end - start, axis=0)
+
     def mem_bytes(self) -> int:
         host = 0 if self.store_type == "Mmap" else self._host.nbytes
         dev = self.device.size * self.device.dtype.itemsize

@@ -94,7 +94,11 @@ class VectorManager:
             while model.indexed_count < store.n:
                 start = model.indexed_count
                 end = min(start + RT_BATCH, store.n)
-                rows = store.header(start, end)
+                # prefer the already-uploaded device mirror (bf16) so the
+                # pump never re-ships vectors over the host link
+                rows = (store.device_rows(start, end)
+                        if end <= store.flushed
+                        else store.header(start, end))
                 vids = np.arange(start, end, dtype=np.int64)
                 docids = store.vid_mgr.vid2doc(vids)
                 model.add(rows, vids, docids)

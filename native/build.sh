@@ -1,0 +1,7 @@
+#!/bin/sh
+# Build libgamma_host.so next to this script.
+set -e
+cd "$(dirname "$0")"
+g++ -O3 -std=c++17 -fPIC -shared -pthread -fvisibility=hidden \
+    -o libgamma_host.so gamma_host.cc
+echo "built $(pwd)/libgamma_host.so"

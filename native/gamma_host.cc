@@ -1,0 +1,472 @@
+// libgamma_host — native host-side runtime for gamma_tpu.
+//
+// TPU-native re-derivation of the reference's host storage stack:
+//   * StorageManager/Segment/Block + AsyncWriter
+//     (storage/storage_manager.{h,cc}, storage/segment.{h,cc},
+//      storage/async_writer.cc:51-110 — coalesced pwrite thread):
+//     here each segment is an mmap'd file; writes are memcpys into the
+//     mapping and a background sync thread issues coalesced msync ranges,
+//     playing the AsyncWriter role.  Readers see writes immediately
+//     (shared mapping) — the single-writer/multi-reader publish contract
+//     is the atomic `items` counter, exactly like the reference's
+//     `cur_size_` (storage/segment.h:21-120).
+//   * BitmapManager (util/bitmap_manager.{h,cc}): file-backed bitmap at
+//     bit granularity with atomic word updates.
+//   * libcuckoo key->docid map (table/table.h:185): sharded-lock string
+//     hash map with binary dump/load.
+//
+// C ABI only — bound from Python via ctypes (gamma_tpu/native/__init__.py).
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+#define API extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+// ---------------------------------------------------------------------
+// Segment: one mmap'd file: header | fixed rows | string heap
+// ---------------------------------------------------------------------
+
+struct SegHeader {
+  uint64_t magic;        // 'GSEG'
+  uint64_t item_size;
+  uint64_t capacity;     // max items
+  std::atomic<uint64_t> items;      // published item count
+  uint64_t str_cap;      // string heap bytes
+  std::atomic<uint64_t> str_used;   // published heap bytes used
+  uint64_t version;
+  uint64_t pad;
+};
+static_assert(sizeof(SegHeader) == 64, "header layout");
+
+constexpr uint64_t kMagic = 0x4753454755ULL;
+
+struct Segment {
+  int fd = -1;
+  uint8_t* base = nullptr;   // whole mapping
+  size_t map_len = 0;
+  SegHeader* hdr = nullptr;
+  uint8_t* rows = nullptr;
+  uint8_t* heap = nullptr;
+
+  bool open(const std::string& path, uint64_t item_size, uint64_t capacity,
+            uint64_t str_cap) {
+    bool fresh = ::access(path.c_str(), F_OK) != 0;
+    fd = ::open(path.c_str(), O_RDWR | O_CREAT, 0644);
+    if (fd < 0) return false;
+    map_len = sizeof(SegHeader) + item_size * capacity + str_cap;
+    if (fresh && ::ftruncate(fd, (off_t)map_len) != 0) return false;
+    struct stat st;
+    if (::fstat(fd, &st) != 0) return false;
+    if ((size_t)st.st_size < map_len &&
+        ::ftruncate(fd, (off_t)map_len) != 0)
+      return false;
+    base = (uint8_t*)::mmap(nullptr, map_len, PROT_READ | PROT_WRITE,
+                            MAP_SHARED, fd, 0);
+    if (base == MAP_FAILED) { base = nullptr; return false; }
+    hdr = (SegHeader*)base;
+    rows = base + sizeof(SegHeader);
+    heap = rows + item_size * capacity;
+    if (fresh || hdr->magic != kMagic) {
+      hdr->magic = kMagic;
+      hdr->item_size = item_size;
+      hdr->capacity = capacity;
+      hdr->items.store(0);
+      hdr->str_cap = str_cap;
+      hdr->str_used.store(0);
+      hdr->version = 1;
+    }
+    return true;
+  }
+  void close_() {
+    if (base) { ::msync(base, map_len, MS_SYNC); ::munmap(base, map_len); }
+    if (fd >= 0) ::close(fd);
+    base = nullptr; fd = -1;
+  }
+};
+
+// ---------------------------------------------------------------------
+// StorageManager: ordered list of segments + async sync thread
+// ---------------------------------------------------------------------
+
+struct Storage {
+  std::string dir, name;
+  uint64_t item_size, seg_items, str_cap_per_seg;
+  std::vector<Segment*> segs;
+  std::mutex grow_mu;
+
+  // async writer analog: background msync of dirty segments
+  std::thread syncer;
+  std::mutex sync_mu;
+  std::condition_variable sync_cv;
+  std::atomic<bool> stop{false};
+  std::atomic<bool> dirty{false};
+
+  std::string seg_path(size_t i) const {
+    return dir + "/" + name + ".seg" + std::to_string(i);
+  }
+
+  bool ensure_seg(size_t i) {
+    std::lock_guard<std::mutex> g(grow_mu);
+    while (segs.size() <= i) {
+      auto* s = new Segment();
+      if (!s->open(seg_path(segs.size()), item_size, seg_items,
+                   str_cap_per_seg)) {
+        delete s;
+        return false;
+      }
+      segs.push_back(s);
+    }
+    return true;
+  }
+
+  uint64_t total_items() const {
+    uint64_t n = 0;
+    for (auto* s : segs) n += s->hdr->items.load();
+    return n;
+  }
+
+  void run_syncer() {
+    std::unique_lock<std::mutex> lk(sync_mu);
+    while (!stop.load()) {
+      sync_cv.wait_for(lk, std::chrono::milliseconds(200));
+      if (dirty.exchange(false)) {
+        for (auto* s : segs)
+          ::msync(s->base, s->map_len, MS_ASYNC);   // coalesced flush
+      }
+    }
+  }
+};
+
+Storage* as_storage(void* h) { return (Storage*)h; }
+
+// ---------------------------------------------------------------------
+// Bitmap
+// ---------------------------------------------------------------------
+
+struct Bitmap {
+  int fd = -1;
+  std::atomic<uint64_t>* words = nullptr;
+  size_t nwords = 0, map_len = 0;
+
+  bool open(const std::string& path, uint64_t nbits) {
+    nwords = (nbits + 63) / 64;
+    map_len = nwords * 8;
+    fd = ::open(path.c_str(), O_RDWR | O_CREAT, 0644);
+    if (fd < 0) return false;
+    struct stat st;
+    if (::fstat(fd, &st) != 0) return false;
+    if ((size_t)st.st_size < map_len &&
+        ::ftruncate(fd, (off_t)map_len) != 0)
+      return false;
+    void* p = ::mmap(nullptr, map_len, PROT_READ | PROT_WRITE, MAP_SHARED,
+                     fd, 0);
+    if (p == MAP_FAILED) return false;
+    words = (std::atomic<uint64_t>*)p;
+    return true;
+  }
+};
+
+// ---------------------------------------------------------------------
+// Key map: sharded string -> int64
+// ---------------------------------------------------------------------
+
+struct KeyMap {
+  static constexpr int kShards = 64;
+  struct Shard {
+    std::mutex mu;
+    std::unordered_map<std::string, int64_t> m;
+  };
+  Shard shards[kShards];
+
+  static size_t shard_of(const char* k, int len) {
+    size_t h = 1469598103934665603ULL;
+    for (int i = 0; i < len; i++) h = (h ^ (uint8_t)k[i]) * 1099511628211ULL;
+    return h & (kShards - 1);
+  }
+};
+
+}  // namespace
+
+// ============================ storage ================================
+
+API void* gsm_open(const char* dir, const char* name, int64_t item_size,
+                   int64_t segment_items, int64_t str_bytes_per_seg) {
+  auto* s = new Storage();
+  s->dir = dir;
+  s->name = name;
+  s->item_size = (uint64_t)item_size;
+  s->seg_items = (uint64_t)segment_items;
+  s->str_cap_per_seg = (uint64_t)str_bytes_per_seg;
+  ::mkdir(dir, 0755);
+  // reopen any existing segments
+  for (size_t i = 0;; i++) {
+    if (::access(s->seg_path(i).c_str(), F_OK) != 0) break;
+    if (!s->ensure_seg(i)) { delete s; return nullptr; }
+  }
+  if (s->segs.empty() && !s->ensure_seg(0)) { delete s; return nullptr; }
+  s->syncer = std::thread([s] { s->run_syncer(); });
+  return s;
+}
+
+API int64_t gsm_size(void* h) { return (int64_t)as_storage(h)->total_items(); }
+
+API int64_t gsm_add(void* h, const void* data, int64_t n_items) {
+  auto* s = as_storage(h);
+  const uint8_t* src = (const uint8_t*)data;
+  int64_t first = -1, done = 0;
+  while (done < n_items) {
+    size_t si = 0;
+    uint64_t base_items = 0;
+    // find the tail segment
+    for (;; si++) {
+      if (!s->ensure_seg(si)) return -1;
+      uint64_t it = s->segs[si]->hdr->items.load();
+      if (it < s->seg_items) { break; }
+      base_items += s->seg_items;
+    }
+    Segment* seg = s->segs[si];
+    uint64_t it = seg->hdr->items.load();
+    uint64_t room = s->seg_items - it;
+    uint64_t take = std::min<uint64_t>(room, (uint64_t)(n_items - done));
+    std::memcpy(seg->rows + it * s->item_size, src + done * s->item_size,
+                take * s->item_size);
+    if (first < 0) first = (int64_t)(base_items + it);
+    seg->hdr->items.store(it + take);  // publish
+    done += (int64_t)take;
+  }
+  s->dirty.store(true);
+  s->sync_cv.notify_one();
+  return first;
+}
+
+API int gsm_get_range(void* h, int64_t start, int64_t count, void* out) {
+  auto* s = as_storage(h);
+  uint8_t* dst = (uint8_t*)out;
+  while (count > 0) {
+    size_t si = (size_t)(start / (int64_t)s->seg_items);
+    uint64_t off = (uint64_t)(start % (int64_t)s->seg_items);
+    if (si >= s->segs.size()) return -1;
+    Segment* seg = s->segs[si];
+    uint64_t have = seg->hdr->items.load();
+    if (off >= have) return -1;
+    uint64_t take = std::min<uint64_t>(have - off, (uint64_t)count);
+    take = std::min<uint64_t>(take, s->seg_items - off);
+    std::memcpy(dst, seg->rows + off * s->item_size, take * s->item_size);
+    dst += take * s->item_size;
+    start += (int64_t)take;
+    count -= (int64_t)take;
+  }
+  return 0;
+}
+
+API int gsm_update(void* h, int64_t id, const void* data) {
+  auto* s = as_storage(h);
+  size_t si = (size_t)(id / (int64_t)s->seg_items);
+  uint64_t off = (uint64_t)(id % (int64_t)s->seg_items);
+  if (si >= s->segs.size()) return -1;
+  Segment* seg = s->segs[si];
+  if (off >= seg->hdr->items.load()) return -1;
+  std::memcpy(seg->rows + off * s->item_size, data, s->item_size);
+  s->dirty.store(true);
+  s->sync_cv.notify_one();
+  return 0;
+}
+
+// string heap: handle = (seg << 40) | offset ; layout [u32 len][bytes]
+API int64_t gsm_add_str(void* h, const char* str, int64_t len) {
+  auto* s = as_storage(h);
+  for (size_t si = 0;; si++) {
+    if (!s->ensure_seg(si)) return -1;
+    Segment* seg = s->segs[si];
+    uint64_t used = seg->hdr->str_used.load();
+    if (used + 4 + (uint64_t)len <= seg->hdr->str_cap) {
+      uint32_t l32 = (uint32_t)len;
+      std::memcpy(seg->heap + used, &l32, 4);
+      std::memcpy(seg->heap + used + 4, str, (size_t)len);
+      seg->hdr->str_used.store(used + 4 + (uint64_t)len);
+      s->dirty.store(true);
+      return (int64_t)(((uint64_t)si << 40) | used);
+    }
+  }
+}
+
+API int64_t gsm_get_str(void* h, int64_t handle, char* out, int64_t cap) {
+  auto* s = as_storage(h);
+  size_t si = (size_t)((uint64_t)handle >> 40);
+  uint64_t off = (uint64_t)handle & ((1ULL << 40) - 1);
+  if (si >= s->segs.size()) return -1;
+  Segment* seg = s->segs[si];
+  uint32_t len;
+  std::memcpy(&len, seg->heap + off, 4);
+  int64_t n = std::min<int64_t>(len, cap);
+  std::memcpy(out, seg->heap + off + 4, (size_t)n);
+  return (int64_t)len;
+}
+
+API int gsm_sync(void* h) {
+  auto* s = as_storage(h);
+  for (auto* seg : s->segs) ::msync(seg->base, seg->map_len, MS_SYNC);
+  return 0;
+}
+
+API int gsm_truncate(void* h, int64_t n_items) {
+  auto* s = as_storage(h);
+  for (size_t si = 0; si < s->segs.size(); si++) {
+    int64_t lo = (int64_t)(si * s->seg_items);
+    uint64_t keep = (uint64_t)std::max<int64_t>(
+        0, std::min<int64_t>(n_items - lo, (int64_t)s->seg_items));
+    s->segs[si]->hdr->items.store(keep);
+  }
+  return 0;
+}
+
+API void gsm_close(void* h) {
+  auto* s = as_storage(h);
+  s->stop.store(true);
+  s->sync_cv.notify_one();
+  if (s->syncer.joinable()) s->syncer.join();
+  for (auto* seg : s->segs) { seg->close_(); delete seg; }
+  delete s;
+}
+
+// ============================ bitmap =================================
+
+API void* gbm_open(const char* path, int64_t nbits) {
+  auto* b = new Bitmap();
+  if (!b->open(path, (uint64_t)nbits)) { delete b; return nullptr; }
+  return b;
+}
+API int gbm_set(void* h, int64_t bit) {
+  auto* b = (Bitmap*)h;
+  if ((size_t)(bit / 64) >= b->nwords) return -1;
+  b->words[bit / 64].fetch_or(1ULL << (bit % 64));
+  return 0;
+}
+API int gbm_unset(void* h, int64_t bit) {
+  auto* b = (Bitmap*)h;
+  if ((size_t)(bit / 64) >= b->nwords) return -1;
+  b->words[bit / 64].fetch_and(~(1ULL << (bit % 64)));
+  return 0;
+}
+API int gbm_test(void* h, int64_t bit) {
+  auto* b = (Bitmap*)h;
+  if ((size_t)(bit / 64) >= b->nwords) return 0;
+  return (b->words[bit / 64].load() >> (bit % 64)) & 1;
+}
+API int64_t gbm_count(void* h) {
+  auto* b = (Bitmap*)h;
+  int64_t c = 0;
+  for (size_t i = 0; i < b->nwords; i++)
+    c += __builtin_popcountll(b->words[i].load());
+  return c;
+}
+API int gbm_fill_bytes(void* h, uint8_t* out, int64_t nbits) {
+  // export as one byte per bit (numpy bool) for fast mask building
+  auto* b = (Bitmap*)h;
+  int64_t lim = std::min<int64_t>(nbits, (int64_t)b->nwords * 64);
+  for (int64_t i = 0; i < lim; i += 64) {
+    uint64_t w = b->words[i / 64].load();
+    int64_t n = std::min<int64_t>(64, lim - i);
+    for (int64_t j = 0; j < n; j++) out[i + j] = (w >> j) & 1;
+  }
+  return 0;
+}
+API int gbm_sync(void* h) {
+  auto* b = (Bitmap*)h;
+  return ::msync((void*)b->words, b->map_len, MS_SYNC);
+}
+API void gbm_close(void* h) {
+  auto* b = (Bitmap*)h;
+  if (b->words) { ::msync((void*)b->words, b->map_len, MS_SYNC);
+                  ::munmap((void*)b->words, b->map_len); }
+  if (b->fd >= 0) ::close(b->fd);
+  delete b;
+}
+
+// ============================ key map ================================
+
+API void* gkm_new() { return new KeyMap(); }
+API void gkm_free(void* h) { delete (KeyMap*)h; }
+
+API int64_t gkm_put(void* h, const char* key, int64_t len, int64_t docid) {
+  auto* km = (KeyMap*)h;
+  auto& sh = km->shards[KeyMap::shard_of(key, (int)len)];
+  std::lock_guard<std::mutex> g(sh.mu);
+  auto it = sh.m.find(std::string(key, (size_t)len));
+  int64_t old = it == sh.m.end() ? -1 : it->second;
+  sh.m[std::string(key, (size_t)len)] = docid;
+  return old;
+}
+API int64_t gkm_get(void* h, const char* key, int64_t len) {
+  auto* km = (KeyMap*)h;
+  auto& sh = km->shards[KeyMap::shard_of(key, (int)len)];
+  std::lock_guard<std::mutex> g(sh.mu);
+  auto it = sh.m.find(std::string(key, (size_t)len));
+  return it == sh.m.end() ? -1 : it->second;
+}
+API int64_t gkm_del(void* h, const char* key, int64_t len) {
+  auto* km = (KeyMap*)h;
+  auto& sh = km->shards[KeyMap::shard_of(key, (int)len)];
+  std::lock_guard<std::mutex> g(sh.mu);
+  auto it = sh.m.find(std::string(key, (size_t)len));
+  if (it == sh.m.end()) return -1;
+  int64_t v = it->second;
+  sh.m.erase(it);
+  return v;
+}
+API int64_t gkm_size(void* h) {
+  auto* km = (KeyMap*)h;
+  int64_t n = 0;
+  for (auto& sh : km->shards) {
+    std::lock_guard<std::mutex> g(sh.mu);
+    n += (int64_t)sh.m.size();
+  }
+  return n;
+}
+API int gkm_dump(void* h, const char* path) {
+  auto* km = (KeyMap*)h;
+  FILE* f = ::fopen(path, "wb");
+  if (!f) return -1;
+  for (auto& sh : km->shards) {
+    std::lock_guard<std::mutex> g(sh.mu);
+    for (auto& kv : sh.m) {
+      uint32_t l = (uint32_t)kv.first.size();
+      ::fwrite(&l, 4, 1, f);
+      ::fwrite(kv.first.data(), 1, l, f);
+      ::fwrite(&kv.second, 8, 1, f);
+    }
+  }
+  ::fclose(f);
+  return 0;
+}
+API int gkm_load(void* h, const char* path) {
+  FILE* f = ::fopen(path, "rb");
+  if (!f) return -1;
+  std::vector<char> buf;
+  for (;;) {
+    uint32_t l;
+    if (::fread(&l, 4, 1, f) != 1) break;
+    buf.resize(l);
+    if (::fread(buf.data(), 1, l, f) != l) break;
+    int64_t v;
+    if (::fread(&v, 8, 1, f) != 1) break;
+    gkm_put(h, buf.data(), (int64_t)l, v);
+  }
+  ::fclose(f);
+  return 0;
+}

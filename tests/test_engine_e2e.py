@@ -68,6 +68,7 @@ def add_docs(eng, x):
     ("FLAT", "MemoryOnly"),
     ("IVFFLAT", "MemoryOnly"),
     ("BINARYIVF", "MemoryOnly"),
+    ("HNSW", "MemoryOnly"),
 ])
 def test_lifecycle(tmp_path, model, store_type):
     rng = np.random.default_rng(3)
