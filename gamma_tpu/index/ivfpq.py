@@ -57,14 +57,14 @@ RECON_ROW_PAD = 8192        # reconstruction-mirror growth quantum
 DENSE_BYTES_BUDGET = 8 << 30
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
+@jax.jit
 def _recon_append(recon, recon_norms, vids, rows, row_norms):
     recon = recon.at[vids].set(rows, mode="drop")
     recon_norms = recon_norms.at[vids].set(row_norms, mode="drop")
     return recon, recon_norms
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _valid_set(valid, vids, value):
     return valid.at[vids].set(value, mode="drop")
 

@@ -73,7 +73,7 @@ def init_state(nlist: int, cap: int, code_width: int) -> IVFState:
     )
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def append(state: IVFState, list_ids: jnp.ndarray, positions: jnp.ndarray,
            codes: jnp.ndarray, vids: jnp.ndarray,
            docids: jnp.ndarray, new_lens: jnp.ndarray) -> IVFState:
@@ -91,7 +91,7 @@ def append(state: IVFState, list_ids: jnp.ndarray, positions: jnp.ndarray,
     )
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def tombstone(state: IVFState, list_ids: jnp.ndarray,
               positions: jnp.ndarray) -> IVFState:
     """Mark entries dead (update/delete path).  Scan masks docid < 0.

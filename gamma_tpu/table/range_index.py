@@ -74,14 +74,39 @@ class MultiFieldsRangeIndex:
     def flush_device(self, pad_chunk: int = 4096) -> None:
         """Refresh device mirrors of numeric columns (engine calls this on
         its ingest flush; queries between flushes see the last mirror,
-        same freshness model as the reference's async index worker)."""
+        same freshness model as the reference's async index worker).
+        Incremental: only rows beyond the previous mirror plus rows dirtied
+        by updates travel over the host link."""
         n = self.table.n
         rows = -(-max(n, 1) // pad_chunk) * pad_chunk
-        for name in self.numeric_fields:
-            col = np.zeros(rows, dtype=np.float32)
-            col[:n] = self.table.column(name).astype(np.float32)
-            self._device_cols[name] = jnp.asarray(col)
-        self._device_rows = rows
+        dirty = self.table.take_dirty()
+        if rows != self._device_rows or not self._device_cols:
+            for name in self.numeric_fields:
+                col = np.zeros(rows, dtype=np.float32)
+                col[:n] = self.table.column(name).astype(np.float32)
+                self._device_cols[name] = jnp.asarray(col)
+            self._device_rows = rows
+            self._mirrored = n
+            return
+        start = getattr(self, "_mirrored", 0)
+        if n > start:
+            pad = -(-(n - start) // 1024) * 1024
+            idx = np.arange(start, start + pad, dtype=np.int64)
+            idx = np.minimum(idx, rows - 1)
+            for name in self.numeric_fields:
+                vals = np.zeros(pad, np.float32)
+                vals[: n - start] = self.table.column(name)[
+                    start:n].astype(np.float32)
+                self._device_cols[name] = self._device_cols[name].at[
+                    jnp.asarray(idx)].set(jnp.asarray(vals))
+            self._mirrored = n
+        if dirty:
+            didx = np.asarray([d for d in dirty if d < n], np.int64)
+            if didx.size:
+                for name in self.numeric_fields:
+                    vals = self.table.column(name)[didx].astype(np.float32)
+                    self._device_cols[name] = self._device_cols[name].at[
+                        jnp.asarray(didx)].set(jnp.asarray(vals))
 
     # ---- query (reference: Search/Intersect :1015-1200) ----
 
@@ -95,14 +120,10 @@ class MultiFieldsRangeIndex:
         for tf in term_filters:
             postings = self._postings.get(tf.field, {})
             terms = tf.terms()
-            if tf.is_union:
-                m = np.zeros(n, dtype=bool)
-                for t in terms:
-                    ids = postings.get(t)
-                    if ids:
-                        arr = np.asarray(ids)
-                        m[arr[arr < n]] = True
-            else:
+            # is_union: 1 = OR across terms, 0 = AND, 2 = NOT (exclude
+            # docs matching any term) — FilterOperator
+            # field_range_index.h:23
+            if tf.is_union == 0:
                 m = np.ones(n, dtype=bool)
                 for t in terms:
                     mt = np.zeros(n, dtype=bool)
@@ -111,6 +132,15 @@ class MultiFieldsRangeIndex:
                         arr = np.asarray(ids)
                         mt[arr[arr < n]] = True
                     m &= mt
+            else:
+                m = np.zeros(n, dtype=bool)
+                for t in terms:
+                    ids = postings.get(t)
+                    if ids:
+                        arr = np.asarray(ids)
+                        m[arr[arr < n]] = True
+                if tf.is_union == 2:
+                    m = ~m
             mask &= m
         return mask
 

@@ -116,6 +116,7 @@ class Table:
                     init_cap, dtype=FIXED_WIDTH_NUMPY[f.data_type])
         self.keymap = _make_keymap()
         self.doc_keys: List[Any] = []
+        self._dirty: List[int] = []   # docids updated in place
 
     def _grow(self, need: int) -> None:
         if need <= self.cap:
@@ -159,6 +160,12 @@ class Table:
                     self.heaps[name].put(docid, str(v))
                 else:
                     self.columns[name][docid] = v
+            self._dirty.append(docid)
+
+    def take_dirty(self) -> List[int]:
+        with self._lock:
+            dirty, self._dirty = self._dirty, []
+            return dirty
 
     def docid_by_key(self, key: Any) -> int:
         return self.keymap.get(str(key))

@@ -32,7 +32,7 @@ import numpy as np
 from gamma_tpu.ops.distances import l2_norms
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
+@jax.jit
 def _device_append(dev: jnp.ndarray, norms: jnp.ndarray,
                    rows: jnp.ndarray, row_norms: jnp.ndarray,
                    start: jnp.ndarray):
@@ -41,7 +41,7 @@ def _device_append(dev: jnp.ndarray, norms: jnp.ndarray,
     return dev, norms
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
+@jax.jit
 def _device_update_rows(dev: jnp.ndarray, norms: jnp.ndarray,
                         vids: jnp.ndarray, rows: jnp.ndarray,
                         row_norms: jnp.ndarray):
