@@ -57,9 +57,24 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: capacity-growth shape changes
+    recompile; on remote-compile TPU setups each compile costs tens of
+    seconds, so cache them across runs."""
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.expanduser("~/.cache/gamma_tpu_xla"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:       # pragma: no cover - cache is best-effort
+        pass
+
+
 class GammaEngine:
     def __init__(self, config: EngineConfig):
         self.config = config
+        _enable_compilation_cache()
         os.makedirs(config.path, exist_ok=True)
         self.table: Optional[Table] = None
         self.table_info: Optional[TableInfo] = None
@@ -83,6 +98,8 @@ class GammaEngine:
         self._indexer_stop = threading.Event()
         self._training = False
         self.migrate: Optional[MigrateData] = None
+        # opt-in multi-chip serving snapshot (see enable_sharded_search)
+        self._sharded: Optional[Dict[str, Any]] = None
 
     # ================= table lifecycle =================
 
@@ -405,7 +422,14 @@ class GammaEngine:
         k = max(request.topn, 1)
         model = self.vm.index_for(vq.name)
 
-        if request.brute_force_search or model is None:
+        if (self._sharded is not None
+                and self._sharded["field"] == vq.name
+                and not request.brute_force_search and model is not None
+                and model.trained()):
+            dists_np, docids_np = self._sharded_search(
+                vq, sp, k, pen_doc, store)
+            dists_np, docids_np = dists_np[:b], docids_np[:b]
+        elif request.brute_force_search or model is None:
             pen_rows = self._penalty_for_store(pen_doc, store)
             metric = ("ip" if self._result_metric(sp) == "ip" else "l2")
             dists, rows = flat_search(store.device, store.device_norms,
@@ -465,6 +489,65 @@ class GammaEngine:
             full.sort()
             out.append(full[: request.topn])
         return out
+
+    # ============== multi-chip serving (reference: gpu.cc:588 =========
+    # IndexShards over devices; here: jax mesh over inverted lists) ====
+
+    def enable_sharded_search(self, field: Optional[str] = None,
+                              n_list_shards: Optional[int] = None,
+                              n_query_shards: int = 1) -> None:
+        """Snapshot the (trained) IVFPQ index for `field` onto a device
+        mesh: inverted lists + raw rows sharded over the list axis,
+        searches merged over ICI.  Call again after bulk ingest to
+        refresh the snapshot; single-chip realtime search keeps serving
+        newer docs in the meantime."""
+        import jax as _jax
+        from gamma_tpu.parallel import build_mesh, shard_ivfpq
+        from gamma_tpu.index.ivfpq import IVFPQIndex
+        field = field or next(iter(self.vm.stores))
+        model = self.vm.index_for(field)
+        assert isinstance(model, IVFPQIndex) and model.trained(), \
+            "sharded search needs a trained IVFPQ index"
+        if n_list_shards is None:
+            n_list_shards = max(1, len(_jax.devices()) // n_query_shards)
+        mesh = build_mesh(n_list_shards, n_query_shards)
+        sharded = shard_ivfpq(mesh, model.state, model.centroids,
+                              model.cent_norms, model.pq,
+                              model.store.device)
+        self._sharded = {"field": field, "mesh": mesh,
+                         "index": sharded, "fns": {},
+                         "snapshot_n": model.indexed_count}
+
+    def disable_sharded_search(self) -> None:
+        self._sharded = None
+
+    def _sharded_search(self, vq, sp: SearchParams, k: int,
+                        pen_doc: jnp.ndarray, store):
+        from gamma_tpu.parallel import sharded_ivfpq_search_fn
+        sh = self._sharded
+        model = self.vm.index_for(sh["field"])
+        nprobe = min(sp.nprobe or model.p.nprobe, model.p.ncentroids)
+        key = (nprobe, max(sp.recall_num, k), k,
+               self._result_metric(sp), sp.has_rank)
+        fn = sh["fns"].get(key)
+        if fn is None:
+            fn = sharded_ivfpq_search_fn(
+                sh["mesh"], nprobe=key[0], recall_num=key[1], k=key[2],
+                metric=key[3], rerank=key[4],
+                v_per_shard=sh["index"].v_per_shard)
+            sh["fns"][key] = fn
+        q = np.asarray(vq.value, np.float32).reshape(-1, store.d)
+        qd = jnp.asarray(model._rotate(jnp.asarray(q)))
+        # replicated penalty padded to the sharded raw-row count
+        total_rows = sh["index"].raw.shape[0]
+        pen = pen_doc
+        if pen.shape[0] < total_rows:
+            pen = jnp.pad(pen, (0, total_rows - pen.shape[0]),
+                          constant_values=BIG)
+        else:
+            pen = pen[:total_rows]
+        d, doc, vid = fn(sh["index"], qd, pen)
+        return np.asarray(d), np.asarray(doc)
 
     # ================= point reads =================
 

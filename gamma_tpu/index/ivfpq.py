@@ -227,6 +227,9 @@ class IVFPQIndex(RetrievalModel):
         cap = self.recon.shape[0]
         if need_rows <= cap:
             return
+        # the mirror will eventually cover every stored row — jump straight
+        # there so growth (a new shape → a fresh compile) happens once
+        need_rows = max(need_rows, self.store.n)
         new_cap = cap
         while new_cap < need_rows:
             new_cap *= 2

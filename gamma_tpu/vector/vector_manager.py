@@ -40,9 +40,13 @@ class VectorManager:
 
     def create_vector_table(self, table: TableInfo) -> None:
         for vi in table.vectors:
+            import jax.numpy as jnp
+            dd = str(vi.store_param.get("device_dtype", "bfloat16"))
             store = RawVectorStore(
                 vi.name, vi.dimension,
                 store_type=vi.store_type,
+                device_dtype=(jnp.float32 if dd == "float32"
+                              else jnp.bfloat16),
                 root_path=os.path.join(self.root_path, "vectors"),
             )
             self.stores[vi.name] = store

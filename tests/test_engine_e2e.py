@@ -220,3 +220,51 @@ def test_migration(tmp_path):
     assert deletes == 1
     eng.terminate_migrate()
     eng.close()
+
+
+def test_multi_vectors_per_doc(tmp_path):
+    """A doc may carry several vectors per field (reference caps at 10,
+    raw_vector_common.h:17); a query matching ANY of them returns the doc
+    once (vid→docid dedup, vector_manager.cc:386-429)."""
+    rng = np.random.default_rng(17)
+    eng = make_engine(tmp_path, "FLAT")
+    x = corpus(rng, n=300)
+    docs = []
+    for i in range(300):
+        vecs = np.stack([x[i], -x[i]])      # two vectors per doc
+        docs.append(Doc(key=f"key_{i}",
+                        fields={"url": "", "cid1": 0, "cid2": 0,
+                                "price": float(i), "tag": "t"},
+                        vectors={"vec": vecs}))
+    assert all(c == 0 for c in eng.add_or_update_docs(docs))
+    eng.flush()
+    # query the SECOND vector of doc 5: doc must come back, deduped
+    resp = eng.search(Request(topn=5,
+                              vec_fields=[VectorQuery("vec", -x[5])]))
+    items = resp.results[0].result_items
+    assert items[0].docid == 5
+    assert len([it for it in items if it.docid == 5]) == 1
+    eng.close()
+
+
+def test_device_dtype_store_param(tmp_path):
+    """store_param device_dtype=float32 selects an f32 device mirror."""
+    import jax.numpy as jnp
+    from gamma_tpu.config import (DataType, EngineConfig, FieldInfo,
+                                  TableInfo, VectorInfo)
+    eng = GammaEngine(EngineConfig(path=str(tmp_path)))
+    eng.create_table(TableInfo(
+        name="f32", fields=[FieldInfo("p", DataType.FLOAT)],
+        vectors=[VectorInfo("vec", DIM,
+                            store_param={"device_dtype": "float32"})],
+        indexing_size=10_000, retrieval_types=["FLAT"],
+        retrieval_params=[{}]))
+    assert eng.vm.stores["vec"].device.dtype == jnp.float32
+    rng = np.random.default_rng(1)
+    x = corpus(rng, n=100)
+    add_docs(eng, x)
+    eng.flush()
+    resp = eng.search(Request(topn=1, vec_fields=[VectorQuery("vec",
+                                                              x[3])]))
+    assert resp.results[0].result_items[0].docid == 3
+    eng.close()

@@ -144,3 +144,43 @@ def test_sharded_kmeans_matches_single(corpus_small):
                                    jnp.asarray(c)))
         return d.min(axis=1).mean()
     assert obj(cents) <= obj(np.asarray(ref_c)) * 1.05
+
+
+def test_engine_sharded_search(tmp_path, rng):
+    """Engine-level multi-chip serving: snapshot onto the mesh, search
+    parity with single-chip, filters respected."""
+    from gamma_tpu import (Doc, EngineConfig, FieldInfo, GammaEngine,
+                           RangeFilter, Request, TableInfo, VectorInfo,
+                           VectorQuery)
+    from gamma_tpu.config import DataType
+    eng = GammaEngine(EngineConfig(path=str(tmp_path)))
+    eng.create_table(TableInfo(
+        name="sh", fields=[FieldInfo("price", DataType.FLOAT, True)],
+        vectors=[VectorInfo("vec", 32)], indexing_size=1500,
+        retrieval_types=["IVFPQ"],
+        retrieval_params=[{"ncentroids": 32, "nsubvector": 8,
+                           "nprobe": 32}]))
+    x = rng.normal(size=(2000, 32)).astype(np.float32)
+    eng.add_or_update_docs([
+        Doc(key=f"k{i}", fields={"price": float(i)},
+            vectors={"vec": x[i]}) for i in range(2000)])
+    eng.flush()
+    ref = eng.search(Request(topn=5, vec_fields=[VectorQuery("vec",
+                                                             x[:8])]))
+    eng.enable_sharded_search(n_list_shards=4, n_query_shards=2)
+    got = eng.search(Request(topn=5, vec_fields=[VectorQuery("vec",
+                                                             x[:8])]))
+    for b in range(8):
+        r = [it.docid for it in ref.results[b].result_items]
+        g = [it.docid for it in got.results[b].result_items]
+        assert g[0] == b == r[0]
+        assert len(set(r) & set(g)) >= 3
+    # filters flow through the replicated penalty
+    fr = eng.search(Request(
+        topn=5, vec_fields=[VectorQuery("vec", x[:8])],
+        range_filters=[RangeFilter("price", 1000.0, 1999.0)]))
+    for sr in fr.results:
+        for it in sr.result_items:
+            assert 1000 <= it.docid <= 1999
+    eng.disable_sharded_search()
+    eng.close()
