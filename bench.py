@@ -95,27 +95,25 @@ def main():
     store.add(corpus)
     store.flush_device()
 
-    # ---- exact f32 ground truth (one-off device scan) ----
+    # ---- float64 host ground truth ----
+    # f32 norm-expansion GT misranks near-tie boundaries by +-1 rank for
+    # ~30% of queries (its cancellation error ~0.5-1.0 exceeds typical
+    # rank-10/11 gaps), understating recall by ~3 points; f64 is exact.
     qd = jnp.asarray(queries)
     t0 = time.time()
-
-    @jax.jit
-    def exact_topk(qb, x, xn):
-        cross = jax.lax.dot_general(
-            qb, x, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dist = (jnp.sum(qb * qb, -1, keepdims=True) - 2 * cross
-                + xn[None, :])
-        nd, idx = jax.lax.top_k(-dist, k)
-        return idx
-
-    xf = jnp.asarray(corpus)
-    xn = jnp.sum(xf * xf, axis=-1)
-    gt = [np.asarray(exact_topk(qd[s: s + 256], xf, xn))
-          for s in range(0, nq, 256)]
+    c64 = corpus.astype(np.float64)
+    cn64 = np.einsum("nd,nd->n", c64, c64)
+    gt = []
+    for s in range(0, nq, 64):
+        qb = queries[s: s + 64].astype(np.float64)
+        dist = (np.einsum("bd,bd->b", qb, qb)[:, None]
+                - 2.0 * qb @ c64.T + cn64[None, :])
+        part = np.argpartition(dist, k, axis=1)[:, :k]
+        order = np.take_along_axis(dist, part, axis=1).argsort(axis=1)
+        gt.append(np.take_along_axis(part, order, axis=1))
     gt_ids = np.concatenate(gt)
-    del xf, xn
-    log(f"ground truth: {time.time()-t0:.1f}s")
+    del c64, cn64
+    log(f"ground truth (f64): {time.time()-t0:.1f}s")
 
     # ---- build ----
     # bucket_init_size pre-sized to the expected max list length so

@@ -66,7 +66,7 @@ def run(rt, r):
 
 run(0.95, 100)
 run(0.99, 100)
-run(0.999, 100)
+
 
 # exact-topk candidate selection inside the same pipeline (upper bound)
 @functools.partial(jax.jit, static_argnames=('r',))

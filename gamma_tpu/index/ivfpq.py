@@ -69,12 +69,18 @@ def _valid_set(valid, vids, value):
     return valid.at[vids].set(value, mode="drop")
 
 
-@functools.partial(jax.jit, static_argnames=("d", "has_rot"))
-def _encode_full(x, cents, cnorms, cb, cb_norms, rot, *, d, has_rot):
+@functools.partial(jax.jit, static_argnames=("d", "has_rot", "recon_dtype"))
+def _encode_full(x, cents, cnorms, cb, cb_norms, rot, *, d, has_rot,
+                 recon_dtype=jnp.bfloat16):
     """Fused ingest step: rotate → coarse assign → residual PQ encode →
     reconstruct (for the dense-scan mirror).  One compile per batch shape.
     Reference splits this across OPQ apply + quantizer->assign + pq
-    compute_codes (gamma_index_ivfpq.cc:424-512)."""
+    compute_codes (gamma_index_ivfpq.cc:424-512).
+
+    recon norms are computed from the STORED (dtype-rounded) recon so the
+    dense scan's ||q||² - 2q·y + ||y||² is the exact distance to the
+    quantized point — inconsistent norms add an error comparable to the
+    rounding itself."""
     xf = x.astype(jnp.float32)
     if has_rot:
         xf = xf @ rot
@@ -82,9 +88,10 @@ def _encode_full(x, cents, cnorms, cb, cb_norms, rot, *, d, has_rot):
     coarse = jnp.take(cents, assign, axis=0)
     pq = pq_ops.PQCodebooks(cb, cb_norms)
     codes = pq_ops.encode_pq(pq, xf - coarse)
-    recon = coarse + pq_ops.decode_pq(pq, codes)[:, :d]
-    return (assign.astype(jnp.int32), codes,
-            recon.astype(jnp.bfloat16), l2_norms(recon))
+    recon = (coarse + pq_ops.decode_pq(pq, codes)[:, :d]
+             ).astype(recon_dtype)
+    return (assign.astype(jnp.int32), codes, recon,
+            l2_norms(recon.astype(jnp.float32)))
 
 
 def _pad_quantum(n: int) -> int:
@@ -125,8 +132,14 @@ class IVFPQIndex(RetrievalModel):
         self.state = rt.init_state(self.p.ncentroids, init_cap,
                                    self.p.nsubvector)
         self.placer = rt.HostPlacer(self.p.ncentroids, init_cap)
-        # dense-mode reconstruction mirror, vid-indexed
-        self.recon = jnp.zeros((RECON_ROW_PAD, self.d), jnp.bfloat16)
+        # dense-mode reconstruction mirror, vid-indexed.  float32 recon
+        # removes the bf16 rounding from candidate selection (bf16 adds a
+        # +-0.4% relative coordinate error whose distance perturbation can
+        # exceed neighbor gaps in dense corpora) at 2x mirror memory and
+        # ~half the scan matmul rate.
+        rd = str((params or {}).get("recon_dtype", "bfloat16"))
+        self.recon_dtype = jnp.float32 if rd == "float32" else jnp.bfloat16
+        self.recon = jnp.zeros((RECON_ROW_PAD, self.d), self.recon_dtype)
         self.recon_norms = jnp.zeros((RECON_ROW_PAD,), jnp.float32)
         self.recon_valid = jnp.full((RECON_ROW_PAD,), BIG, jnp.float32)
 
@@ -220,7 +233,8 @@ class IVFPQIndex(RetrievalModel):
             self.pq.codebooks, self.pq.cb_norms,
             self.opq_rot if self.opq_rot is not None
             else jnp.zeros((0, 0), jnp.float32),
-            d=self.d, has_rot=self.opq_rot is not None)
+            d=self.d, has_rot=self.opq_rot is not None,
+            recon_dtype=self.recon_dtype)
         return np.asarray(assign)[:n], codes, recon, rnorms
 
     def _grow_recon(self, need_rows: int) -> None:
@@ -420,17 +434,18 @@ class IVFPQIndex(RetrievalModel):
             e = min(vflat.size, s + chunk)
             coarse = jnp.take(self.centroids,
                               jnp.asarray(lists[s:e]), axis=0)
-            rec = coarse + pq_ops.decode_pq(
+            rec = (coarse + pq_ops.decode_pq(
                 self.pq, jnp.asarray(cflat[s:e]))[:, : self.d]
+            ).astype(self.recon_dtype)
             vd = jnp.asarray(vflat[s:e], jnp.int32)
             self.recon, self.recon_norms = _recon_append(
                 self.recon, self.recon_norms, vd,
-                rec.astype(jnp.bfloat16), l2_norms(rec))
+                rec, l2_norms(rec.astype(jnp.float32)))
             self.recon_valid = _valid_set(self.recon_valid, vd, 0.0)
 
     def mem_bytes(self) -> int:
         m = self.state.mem_bytes()
-        m += self.recon.size * 2 + self.recon_norms.size * 4
+        m += self.recon.size * self.recon.dtype.itemsize + self.recon_norms.size * 4
         m += self.recon_valid.size * 4
         if self.centroids is not None:
             m += self.centroids.size * 4
