@@ -362,11 +362,13 @@ class IVFPQIndex(RetrievalModel):
                 return np.asarray(d), docids, v_np
             return d, vids, vids
         nprobe = min(sp.nprobe or self.p.nprobe, self.p.ncentroids)
+        scan_impl = ("pallas" if jax.default_backend() == "tpu"
+                     else "xla")
         return ivf_scan.ivfpq_search(
             self.state, self.centroids, self.cent_norms, self.pq,
             q, penalty, self.store.device,
             nprobe=nprobe, recall_num=recall_num, k=k, metric=metric,
-            rerank=sp.has_rank)
+            rerank=sp.has_rank, scan_impl=scan_impl)
 
     # ---- persistence (reference: gamma_index_io.cc "ilar" format) ----
 

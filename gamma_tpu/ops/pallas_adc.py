@@ -30,21 +30,21 @@ from gamma_tpu.ops.distances import BIG
 def _adc_kernel(list_ids_ref,          # scalar prefetch [B*P] i32
                 codes_ref,             # [1, cap, M] u8 (probed list)
                 lut_ref,               # [1, M, ksub] f32 (this (b,p))
-                out_ref):              # [1, cap] f32
+                out_ref):              # [1, 1, cap] f32
     cap, m = codes_ref.shape[1], codes_ref.shape[2]
     ksub = lut_ref.shape[2]
     codes = codes_ref[0].astype(jnp.int32)          # [cap, M]
     kidx = jax.lax.broadcasted_iota(jnp.int32, (cap, ksub), 1)
 
-    def body(mi, acc):
-        cm = jax.lax.dynamic_slice_in_dim(codes, mi, 1, axis=1)  # [cap,1]
-        onehot = (kidx == cm)                                    # [cap,ksub]
-        lut_m = jax.lax.dynamic_slice_in_dim(
-            lut_ref[0], mi, 1, axis=0)                           # [1,ksub]
-        return acc + jnp.sum(jnp.where(onehot, lut_m, 0.0), axis=1)
-
-    out_ref[0, :] = jax.lax.fori_loop(
-        0, m, body, jnp.zeros((cap,), jnp.float32))
+    # static unroll over subquantizers (M is small; dynamic slicing of
+    # values is not lowerable in Mosaic)
+    acc = jnp.zeros((cap,), jnp.float32)
+    for mi in range(m):
+        cm = codes[:, mi: mi + 1]                    # [cap, 1]
+        onehot = kidx == cm                          # [cap, ksub]
+        lut_m = lut_ref[0, mi: mi + 1, :]            # [1, ksub]
+        acc = acc + jnp.sum(jnp.where(onehot, lut_m, 0.0), axis=1)
+    out_ref[0, 0, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -71,13 +71,13 @@ def adc_scan_pallas(codes: jnp.ndarray,      # [nlist, cap, M] u8
                 (1, m, ksub),
                 lambda i, ids: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, cap),
-                               lambda i, ids: (i, 0)),
+        out_specs=pl.BlockSpec((1, 1, cap),
+                               lambda i, ids: (i, 0, 0)),
     )
     out = pl.pallas_call(
         _adc_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * p, cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * p, 1, cap), jnp.float32),
         interpret=interpret,
     )(flat_ids, codes, lut_flat)
     return out.reshape(b, p, cap)
