@@ -76,6 +76,9 @@ class GammaEngine:
         self.config = config
         _enable_compilation_cache()
         os.makedirs(config.path, exist_ok=True)
+        from gamma_tpu.utils.log import configure as _configure_log
+        self.log = _configure_log(config.log_dir)
+        self.log.info("engine init path=%s", config.path)
         self.table: Optional[Table] = None
         self.table_info: Optional[TableInfo] = None
         self.vm = VectorManager(config.path)
@@ -111,6 +114,8 @@ class GammaEngine:
         for f in info.fields:
             if f.is_index:
                 self.range_index.add_field(f.name, f.data_type)
+        self.log.info("create_table %s: %d fields, %d vector fields",
+                      info.name, len(info.fields), len(info.vectors))
         # persist schema (reference: TableSchemaIO, gamma_engine.cc:607-612)
         atomic_write_json(
             os.path.join(self.config.path, f"{info.name}.schema"),
@@ -270,6 +275,8 @@ class GammaEngine:
                 model.train(store.header(0, store.n))
             self.flush()
             self._index_status = IndexStatus.INDEXED
+            self.log.info("build_index done; indexed=%d",
+                          self.vm.min_indexed_num())
         finally:
             self._training = False
         return 0
@@ -600,6 +607,7 @@ class GammaEngine:
         os.makedirs(dump_dir, exist_ok=True)
         self.table.dump(dump_dir)
         self.vm.dump(dump_dir)
+        self.log.info("dump -> %s (%d docs)", dump_dir, self.table.n)
         atomic_write_json(os.path.join(dump_dir, "dump.done"),
                           {"start_docid": 0, "end_docid": self.table.n})
         # retire older dumps

@@ -93,12 +93,16 @@ class RawVectorStore:
                  root_path: str = "",
                  device_dtype=jnp.bfloat16,
                  init_cap: int = 8192,
-                 multi_vids: bool = False):
+                 multi_vids: bool = False,
+                 compress_dumps: bool = False):
         self.name = name
         self.d = dimension
         self.store_type = store_type
         self.root_path = root_path
         self.device_dtype = device_dtype
+        # zlib-compressed checkpoints (the reference's optional zstd/zfp
+        # block compression, storage/compress/)
+        self.compress_dumps = compress_dumps
         self.n = 0                       # number of vectors (vids) stored
         self._flushed = 0                # rows mirrored to device
         self._lock = threading.Lock()
@@ -218,14 +222,23 @@ class RawVectorStore:
 
     def dump(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        np.save(os.path.join(path, f"{self.name}.rawvec.npy"),
-                self._host[: self.n])
+        if self.compress_dumps:
+            np.savez_compressed(
+                os.path.join(path, f"{self.name}.rawvec.npz"),
+                x=self._host[: self.n])
+        else:
+            np.save(os.path.join(path, f"{self.name}.rawvec.npy"),
+                    self._host[: self.n])
 
     def load(self, path: str) -> int:
+        fz = os.path.join(path, f"{self.name}.rawvec.npz")
         f = os.path.join(path, f"{self.name}.rawvec.npy")
-        if not os.path.exists(f):
+        if os.path.exists(fz):
+            data = np.load(fz)["x"]
+        elif os.path.exists(f):
+            data = np.load(f)
+        else:
             return 0
-        data = np.load(f)
         self.n = 0
         self._flushed = 0
         self.add(data)

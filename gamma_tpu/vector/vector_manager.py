@@ -48,6 +48,7 @@ class VectorManager:
                 device_dtype=(jnp.float32 if dd == "float32"
                               else jnp.bfloat16),
                 root_path=os.path.join(self.root_path, "vectors"),
+                compress_dumps=bool(vi.store_param.get("compress", False)),
             )
             self.stores[vi.name] = store
             if not vi.is_index:
