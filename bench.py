@@ -90,8 +90,12 @@ def main():
     queries = queries.astype(np.float32)
 
     # f32 device mirror: the exact rerank runs at the reference's f32
-    # precision (recall vs f32 ground truth; the coarse scan stays bf16)
-    store = RawVectorStore("vec", d, device_dtype=jnp.float32)
+    # precision (recall vs f32 ground truth; the coarse scan stays bf16).
+    # At >5M vectors/chip use bf16 to stay inside HBM.
+    store_dt = (jnp.bfloat16
+                if os.environ.get("GAMMA_BENCH_STORE", "f32") == "bf16"
+                else jnp.float32)
+    store = RawVectorStore("vec", d, device_dtype=store_dt)
     store.add(corpus)
     store.flush_device()
 

@@ -17,6 +17,7 @@ socket.
 
 from __future__ import annotations
 
+import os
 import socket
 import socketserver
 import struct
@@ -25,6 +26,7 @@ from typing import Any, Dict, Optional, Tuple
 
 from gamma_tpu import c_api
 from gamma_tpu.idl import wire
+from gamma_tpu.utils.log import get_logger
 
 OP_INIT = 1
 OP_CLOSE = 2
@@ -71,6 +73,8 @@ class _Handler(socketserver.BaseRequestHandler):
                 status, out = 0, b""
                 try:
                     if op == OP_INIT:
+                        if handle is not None:
+                            c_api.Close(handle)     # no handle leaks
                         handle = c_api.Init(payload)
                     elif handle is None:
                         status = -2          # not initialized
@@ -107,6 +111,7 @@ class _Handler(socketserver.BaseRequestHandler):
                         status = -3          # unknown opcode
                 except Exception:            # noqa: BLE001
                     status = -4              # engine error
+                    get_logger().exception("server op=%d failed", op)
                 sock.sendall(_RSP.pack(status, len(out)) + out)
         finally:
             if handle is not None:
@@ -124,16 +129,38 @@ class _UnixServer(socketserver.ThreadingUnixStreamServer):
 
 def serve(address, background: bool = True):
     """Start serving.  `address` is ("host", port) for TCP or a string
-    path for a unix socket.  Returns the server object (shutdown() to
-    stop)."""
-    srv = (_UnixServer(address, _Handler) if isinstance(address, str)
-           else _TCPServer(tuple(address), _Handler))
+    path for a unix socket.  Returns the server object; call its
+    .stop() to shut down and release the listener (for unix sockets the
+    path is unlinked so the address can be reused)."""
+    if isinstance(address, str):
+        if os.path.exists(address):       # stale socket from a prior run
+            os.unlink(address)
+        srv = _UnixServer(address, _Handler)
+    else:
+        srv = _TCPServer(tuple(address), _Handler)
+
+    def stop():
+        srv.shutdown()
+        srv.server_close()
+        if isinstance(address, str) and os.path.exists(address):
+            os.unlink(address)
+
+    srv.stop = stop
     if background:
         t = threading.Thread(target=srv.serve_forever, daemon=True)
         t.start()
     else:
         srv.serve_forever()
     return srv
+
+
+class ServerError(RuntimeError):
+    """Raised when the server returns a nonzero status."""
+
+    def __init__(self, op: int, status: int):
+        super().__init__(f"server returned status {status} for op {op}")
+        self.op = op
+        self.status = status
 
 
 class GammaClient:
@@ -152,6 +179,15 @@ class GammaClient:
         out = _recv_exact(self._sock, plen) if plen else b""
         return status, out
 
+    def _call_payload(self, op: int, payload: bytes = b"") -> bytes:
+        """For calls whose success response carries a payload: raise on
+        any nonzero status instead of handing an empty buffer to the
+        wire parser."""
+        status, out = self._call(op, payload)
+        if status != 0:
+            raise ServerError(op, status)
+        return out
+
     # ---- typed API ----
 
     def init(self, config) -> int:
@@ -161,14 +197,15 @@ class GammaClient:
         return self._call(OP_CREATE_TABLE, wire.pack_table(info))[0]
 
     def add_or_update_docs(self, docs):
-        _, out = self._call(OP_ADD_OR_UPDATE_DOCS, wire.pack_docs(docs))
+        out = self._call_payload(OP_ADD_OR_UPDATE_DOCS,
+                                 wire.pack_docs(docs))
         return wire.unpack_batch_result(out)
 
     def delete(self, key: str) -> int:
         return self._call(OP_DELETE_DOC, str(key).encode())[0]
 
     def search(self, request):
-        _, out = self._call(OP_SEARCH, wire.pack_request(request))
+        out = self._call_payload(OP_SEARCH, wire.pack_request(request))
         return wire.unpack_response(out)
 
     def get_doc(self, key: str):
@@ -182,8 +219,7 @@ class GammaClient:
         return self._call(OP_FLUSH)[0]
 
     def status(self):
-        _, out = self._call(OP_STATUS)
-        return wire.unpack_status(out)
+        return wire.unpack_status(self._call_payload(OP_STATUS))
 
     def dump(self) -> int:
         return self._call(OP_DUMP)[0]

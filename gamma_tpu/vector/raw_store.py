@@ -222,13 +222,16 @@ class RawVectorStore:
 
     def dump(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
+        fz = os.path.join(path, f"{self.name}.rawvec.npz")
+        f = os.path.join(path, f"{self.name}.rawvec.npy")
         if self.compress_dumps:
-            np.savez_compressed(
-                os.path.join(path, f"{self.name}.rawvec.npz"),
-                x=self._host[: self.n])
+            np.savez_compressed(fz, x=self._host[: self.n])
+            other = f
         else:
-            np.save(os.path.join(path, f"{self.name}.rawvec.npy"),
-                    self._host[: self.n])
+            np.save(f, self._host[: self.n])
+            other = fz
+        if os.path.exists(other):   # no stale sibling-format checkpoint
+            os.unlink(other)
 
     def load(self, path: str) -> int:
         fz = os.path.join(path, f"{self.name}.rawvec.npz")

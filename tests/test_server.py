@@ -10,7 +10,7 @@ from gamma_tpu.api.doc import Doc
 from gamma_tpu.api.request import Request, RangeFilter, VectorQuery
 from gamma_tpu.config import (DataType, EngineConfig, FieldInfo, TableInfo,
                               VectorInfo)
-from gamma_tpu.server import GammaClient, serve
+from gamma_tpu.server import GammaClient, ServerError, serve
 
 
 def test_server_lifecycle(tmp_path, rng):
@@ -64,4 +64,33 @@ def test_server_lifecycle(tmp_path, rng):
         assert r.results[0].result_items[0].key == "k7"
         cli2.close()
     finally:
-        srv.shutdown()
+        srv.stop()
+
+
+def test_server_error_paths_and_restart(tmp_path, rng):
+    addr = os.path.join(str(tmp_path), "g.sock")
+    srv = serve(addr)
+    cli = GammaClient(addr)
+    # payload call before init raises a typed error, not a parse crash
+    with pytest.raises(ServerError):
+        cli.search(Request(topn=1))
+    cli.close()
+    srv.stop()
+    # unix-socket path is reusable after stop()
+    srv2 = serve(addr)
+    cli2 = GammaClient(addr)
+    assert cli2.init(EngineConfig(path=str(tmp_path / "db2"))) == 0
+    cli2.close()
+    srv2.stop()
+
+
+def test_faisslike_deletions_survive_reload(tmp_path, corpus_small):
+    from gamma_tpu.faisslike import IndexFlat
+    idx = IndexFlat(corpus_small.shape[1])
+    idx.add(corpus_small)
+    idx.remove_ids(np.array([0, 10**9, -5]))   # OOR ids ignored
+    idx.dump(str(tmp_path))
+    idx2 = IndexFlat(corpus_small.shape[1])
+    idx2.load(str(tmp_path))
+    _, I = idx2.search(corpus_small[:1], k=3)
+    assert 0 not in I[0]
