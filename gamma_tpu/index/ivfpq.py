@@ -243,10 +243,9 @@ class IVFPQIndex(RetrievalModel):
             return
         # the mirror will eventually cover every stored row — jump straight
         # there so growth (a new shape → a fresh compile) happens once
+        from gamma_tpu.utils.growth import grow_rows
         need_rows = max(need_rows, self.store.n)
-        new_cap = cap
-        while new_cap < need_rows:
-            new_cap *= 2
+        new_cap = grow_rows(cap, need_rows, quantum=RECON_ROW_PAD)
         pad = new_cap - cap
         self.recon = jnp.pad(self.recon, ((0, pad), (0, 0)))
         self.recon_norms = jnp.pad(self.recon_norms, (0, pad))

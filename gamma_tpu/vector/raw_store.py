@@ -180,9 +180,8 @@ class RawVectorStore:
                 return 0
             cap = self.device.shape[0]
             if end > cap:
-                new_cap = cap
-                while new_cap < end:
-                    new_cap *= 2
+                from gamma_tpu.utils.growth import grow_rows
+                new_cap = grow_rows(cap, end)
                 self.device = jnp.pad(
                     self.device, ((0, new_cap - cap), (0, 0)))
                 self.device_norms = jnp.pad(

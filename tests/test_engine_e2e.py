@@ -268,3 +268,32 @@ def test_device_dtype_store_param(tmp_path):
                                                               x[3])]))
     assert resp.results[0].result_items[0].docid == 3
     eng.close()
+
+
+def test_partial_dump_cleanup(tmp_path):
+    """Crash recovery: incomplete dump dirs (no dump.done) are removed on
+    load and the newest complete dump wins (reference:
+    gamma_engine.cc:1271-1276)."""
+    import os
+    import time as _time
+    rng = np.random.default_rng(23)
+    x = corpus(rng, n=300)
+    eng = make_engine(tmp_path, "FLAT")
+    add_docs(eng, x)
+    eng.flush()
+    eng.dump()
+    _time.sleep(0.02)
+    # simulate a crash mid-dump: a newer dir without dump.done
+    partial = os.path.join(str(tmp_path), "dump_99999999999999_999999")
+    os.makedirs(partial)
+    open(os.path.join(partial, "table.pkl"), "w").close()
+    eng.close()
+
+    eng2 = GammaEngine(EngineConfig(path=str(tmp_path)))
+    assert eng2.load() == 0
+    assert not os.path.exists(partial)          # partial dir cleaned
+    assert eng2.engine_status().doc_count == 300
+    resp = eng2.search(Request(topn=1, vec_fields=[VectorQuery("vec",
+                                                               x[3])]))
+    assert resp.results[0].result_items[0].docid == 3
+    eng2.close()
