@@ -521,8 +521,13 @@ class GammaEngine:
         sharded = shard_ivfpq(mesh, model.state, model.centroids,
                               model.cent_norms, model.pq,
                               model.store.device)
+        # dense-mode snapshot: reconstruction rows sharded over the same
+        # axis — multi-chip serving at dense-scan speed
+        from gamma_tpu.parallel import shard_dense
+        dense = shard_dense(mesh, model.recon, model.recon_norms,
+                            model.recon_valid, model.store.device)
         self._sharded = {"field": field, "mesh": mesh,
-                         "index": sharded, "fns": {},
+                         "index": sharded, "dense": dense, "fns": {},
                          "snapshot_n": model.indexed_count}
 
     def disable_sharded_search(self) -> None:
@@ -530,9 +535,35 @@ class GammaEngine:
 
     def _sharded_search(self, vq, sp: SearchParams, k: int,
                         pen_doc: jnp.ndarray, store):
-        from gamma_tpu.parallel import sharded_ivfpq_search_fn
+        from gamma_tpu.parallel import (sharded_dense_search_fn,
+                                        sharded_ivfpq_search_fn)
         sh = self._sharded
         model = self.vm.index_for(sh["field"])
+        q = np.asarray(vq.value, np.float32).reshape(-1, store.d)
+        qd = jnp.asarray(q)
+        qrot = model._rotate(qd)
+        use_dense = (model.scan_mode(sp) == "dense"
+                     and not store.vid_mgr.multi)
+        if use_dense:
+            key = ("dense", max(sp.recall_num, k), k,
+                   self._result_metric(sp), sp.has_rank)
+            fn = sh["fns"].get(key)
+            if fn is None:
+                fn = sharded_dense_search_fn(
+                    sh["mesh"], recall_num=key[1], k=key[2],
+                    metric=key[3], rerank=key[4],
+                    rows_per_shard=sh["dense"].rows_per_shard,
+                    recall_target=sp.recall_target)
+                sh["fns"][key] = fn
+            total = sh["dense"].recon.shape[0]
+            pen = pen_doc
+            if pen.shape[0] < total:
+                pen = jnp.pad(pen, (0, total - pen.shape[0]),
+                              constant_values=BIG)
+            else:
+                pen = pen[:total]
+            d, vid = fn(sh["dense"], qrot, pen, qd)
+            return np.asarray(d), np.asarray(vid)
         nprobe = min(sp.nprobe or model.p.nprobe, model.p.ncentroids)
         key = (nprobe, max(sp.recall_num, k), k,
                self._result_metric(sp), sp.has_rank)
@@ -543,8 +574,6 @@ class GammaEngine:
                 metric=key[3], rerank=key[4],
                 v_per_shard=sh["index"].v_per_shard)
             sh["fns"][key] = fn
-        q = np.asarray(vq.value, np.float32).reshape(-1, store.d)
-        qd = jnp.asarray(model._rotate(jnp.asarray(q)))
         # replicated penalty padded to the sharded raw-row count
         total_rows = sh["index"].raw.shape[0]
         pen = pen_doc
@@ -553,7 +582,7 @@ class GammaEngine:
                           constant_values=BIG)
         else:
             pen = pen[:total_rows]
-        d, doc, vid = fn(sh["index"], qd, pen)
+        d, doc, vid = fn(sh["index"], qrot, pen)
         return np.asarray(d), np.asarray(doc)
 
     # ================= point reads =================

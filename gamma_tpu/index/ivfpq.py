@@ -59,6 +59,9 @@ DENSE_BYTES_BUDGET = 8 << 30
 
 @jax.jit
 def _recon_append(recon, recon_norms, vids, rows, row_norms):
+    # negative (padding) vids must become positive out-of-bounds before
+    # the scatter: mode="drop" does not drop negatives — they wrap
+    vids = jnp.where(vids < 0, 0x40000000, vids)
     recon = recon.at[vids].set(rows, mode="drop")
     recon_norms = recon_norms.at[vids].set(row_norms, mode="drop")
     return recon, recon_norms
@@ -66,6 +69,7 @@ def _recon_append(recon, recon_norms, vids, rows, row_norms):
 
 @jax.jit
 def _valid_set(valid, vids, value):
+    vids = jnp.where(vids < 0, 0x40000000, vids)
     return valid.at[vids].set(value, mode="drop")
 
 

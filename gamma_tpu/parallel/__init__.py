@@ -1,8 +1,11 @@
 from gamma_tpu.parallel.sharded import (  # noqa: F401
+    ShardedDense,
     ShardedIVFPQ,
     build_mesh,
+    shard_dense,
     shard_ivfpq,
-    sharded_ivfpq_search_fn,
+    sharded_dense_search_fn,
     sharded_flat_search_fn,
+    sharded_ivfpq_search_fn,
     sharded_kmeans_fit,
 )

@@ -279,6 +279,119 @@ def sharded_ivfpq_search_fn(mesh: Mesh, *, nprobe: int, recall_num: int,
 
 
 # ----------------------------------------------------------------------
+# sharded DENSE scan (reconstruction mirror row-sharded over "l")
+# ----------------------------------------------------------------------
+
+class ShardedDense(NamedTuple):
+    """Dense-mode serving snapshot: recon + raw rows sharded over "l"."""
+
+    recon: jnp.ndarray        # [R_pad, d] sharded axis 0
+    recon_norms: jnp.ndarray  # [R_pad]
+    raw: jnp.ndarray          # [R_pad, d] sharded axis 0 (rerank source)
+    rows_per_shard: int
+
+
+def shard_dense(mesh: Mesh, recon, recon_norms, recon_valid,
+                raw) -> ShardedDense:
+    """Row-shard the dense-scan state.  recon_valid folds into the norms
+    (adding BIG poisons padded/tombstoned rows)."""
+    s = mesh.shape[LIST_AXIS]
+    recon_np = np.asarray(recon)
+    rows = recon_np.shape[0]
+    r_pad = -(-rows // s) * s
+    norms = (np.asarray(recon_norms, np.float32)
+             + np.asarray(recon_valid, np.float32))
+    raw_np = np.asarray(raw)
+    raw_pad = np.zeros((r_pad, raw_np.shape[1]), raw_np.dtype)
+    raw_pad[: min(rows, raw_np.shape[0])] = raw_np[:rows][:r_pad]
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return ShardedDense(
+        recon=put(_pad_axis0(recon_np, r_pad), P(LIST_AXIS, None)),
+        recon_norms=put(_pad_axis0(norms, r_pad, np.float32(BIG)),
+                        P(LIST_AXIS)),
+        raw=put(raw_pad, P(LIST_AXIS, None)),
+        rows_per_shard=r_pad // s,
+    )
+
+
+def sharded_dense_search_fn(mesh: Mesh, *, recall_num: int, k: int,
+                            metric: str = "l2", rerank: bool = True,
+                            rows_per_shard: int,
+                            recall_target: float = 0.95):
+    """Dense scan over row-sharded reconstructions: local MXU scan +
+    local ApproxTopK, ICI merge, psum-gathered exact rerank.  Queries
+    sharded over "q".  penalty is vid-aligned and row-sharded over "l"."""
+
+    def body(recon_l, rnorms_l, raw_l, queries, pen_l, queries_raw):
+        my = jax.lax.axis_index(LIST_AXIS)
+        qf = queries.astype(jnp.float32)
+        cross = jax.lax.dot_general(
+            queries.astype(recon_l.dtype), recon_l,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if metric == "ip":
+            dist = -cross + pen_l[None, :]
+        else:
+            dist = (jnp.sum(qf * qf, -1, keepdims=True) - 2.0 * cross
+                    + rnorms_l[None, :] + pen_l[None, :])
+        dist = jnp.minimum(dist, BIG)
+        r = max(recall_num, k)
+        if dist.shape[1] <= max(4 * r, 2048):
+            nd, lidx = jax.lax.top_k(-dist, min(r, dist.shape[1]))
+            rd = -nd
+            if rd.shape[1] < r:
+                padw = r - rd.shape[1]
+                rd = jnp.pad(rd, ((0, 0), (0, padw)), constant_values=BIG)
+                lidx = jnp.pad(lidx, ((0, 0), (0, padw)),
+                               constant_values=0)
+        else:
+            rd, lidx = jax.lax.approx_min_k(dist, r,
+                                            recall_target=recall_target)
+        gids = my * rows_per_shard + lidx
+        rd_g = jax.lax.all_gather(rd, LIST_AXIS, axis=1, tiled=True)
+        gid_g = jax.lax.all_gather(gids, LIST_AXIS, axis=1, tiled=True)
+        md, sel = topk_min(rd_g, gid_g, r)
+        if not rerank:
+            out = md[:, :k]
+            return out, jnp.where(out >= BIG, -1, sel[:, :k])
+        # psum-reassemble candidate raw rows from their owner shards
+        local_idx = sel - my * rows_per_shard
+        in_range = (local_idx >= 0) & (local_idx < rows_per_shard)
+        rows = jnp.take(raw_l, jnp.clip(local_idx, 0, rows_per_shard - 1),
+                        axis=0).astype(jnp.float32)
+        rows = jnp.where(in_range[..., None], rows, 0.0)
+        rows = jax.lax.psum(rows, LIST_AXIS)
+        qr = queries_raw.astype(jnp.float32)[:, None, :]
+        if metric == "ip":
+            exact = -jnp.sum(qr * rows, axis=-1)
+        else:
+            diff = qr - rows
+            exact = jnp.sum(diff * diff, axis=-1)
+        exact = jnp.where(md >= BIG, BIG, exact)
+        ed, eidx = topk_min(exact, jnp.broadcast_to(
+            jnp.arange(r, dtype=jnp.int32)[None, :], exact.shape), k)
+        evid = jnp.take_along_axis(sel, eidx, axis=1)
+        return ed, jnp.where(ed >= BIG, -1, evid)
+
+    rows2 = P(LIST_AXIS, None)
+    qrow = P(QUERY_AXIS, None)
+    fn = shard_map(body, mesh,
+                   in_specs=(rows2, P(LIST_AXIS), rows2, qrow,
+                             P(LIST_AXIS), qrow),
+                   out_specs=(qrow, qrow))
+
+    @jax.jit
+    def search(sharded: ShardedDense, queries, penalty, queries_raw):
+        return fn(sharded.recon, sharded.recon_norms, sharded.raw,
+                  queries, penalty, queries_raw)
+
+    return search
+
+
+# ----------------------------------------------------------------------
 # sharded brute-force (FLAT over row-sharded corpus)
 # ----------------------------------------------------------------------
 

@@ -79,10 +79,13 @@ def append(state: IVFState, list_ids: jnp.ndarray, positions: jnp.ndarray,
            docids: jnp.ndarray, new_lens: jnp.ndarray) -> IVFState:
     """Scatter a batch of entries at host-assigned (list, pos) slots and
     publish the new lens.  Padding rows use list_id = -1 → dropped.
-    Donation makes this an in-place HBM update (no copy of the big arrays).
+
+    NOTE: scatter mode="drop" only drops OUT-OF-BOUNDS indices; negative
+    indices wrap like numpy and would silently corrupt the last list, so
+    -1 padding is remapped to a positive out-of-bounds sentinel first.
     """
-    li = list_ids
-    pos = positions
+    li = jnp.where(list_ids < 0, 0x40000000, list_ids)
+    pos = jnp.where(positions < 0, 0x40000000, positions)
     return IVFState(
         codes=state.codes.at[li, pos].set(codes, mode="drop"),
         vids=state.vids.at[li, pos].set(vids, mode="drop"),
@@ -96,9 +99,11 @@ def tombstone(state: IVFState, list_ids: jnp.ndarray,
               positions: jnp.ndarray) -> IVFState:
     """Mark entries dead (update/delete path).  Scan masks docid < 0.
     Lens are unchanged — the slot is reclaimed at compaction."""
+    li = jnp.where(list_ids < 0, 0x40000000, list_ids)
+    pos = jnp.where(positions < 0, 0x40000000, positions)
     return state._replace(
-        vids=state.vids.at[list_ids, positions].set(-1, mode="drop"),
-        docids=state.docids.at[list_ids, positions].set(-1, mode="drop"),
+        vids=state.vids.at[li, pos].set(-1, mode="drop"),
+        docids=state.docids.at[li, pos].set(-1, mode="drop"),
     )
 
 

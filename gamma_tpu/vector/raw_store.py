@@ -45,6 +45,7 @@ def _device_append(dev: jnp.ndarray, norms: jnp.ndarray,
 def _device_update_rows(dev: jnp.ndarray, norms: jnp.ndarray,
                         vids: jnp.ndarray, rows: jnp.ndarray,
                         row_norms: jnp.ndarray):
+    vids = jnp.where(vids < 0, 0x40000000, vids)   # negatives wrap, not drop
     dev = dev.at[vids].set(rows, mode="drop")
     norms = norms.at[vids].set(row_norms, mode="drop")
     return dev, norms

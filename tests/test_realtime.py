@@ -88,3 +88,25 @@ def test_update_in_new_list():
     assert np.asarray(state.vids)[1, 0] == 7
     ls, ps = placer.locate(np.array([7]))
     assert ls[0] == 1
+
+
+def test_padded_append_does_not_corrupt_last_list():
+    """Regression: scatter mode="drop" does NOT drop negative indices —
+    they wrap like numpy.  A padded append batch (list_id/pos/vid = -1
+    filler) must leave the last list and last recon row untouched."""
+    import jax.numpy as jnp
+    st = rt.init_state(nlist=4, cap=8, code_width=2)
+    # seed the last list with a known entry
+    st = rt.append(st, jnp.asarray([3]), jnp.asarray([0]),
+                   jnp.asarray([[7, 7]], jnp.uint8), jnp.asarray([42]),
+                   jnp.asarray([42]), jnp.asarray([0, 0, 0, 1], jnp.int32))
+    # an all-padding batch (what encode-quantum padding produces)
+    pad = jnp.full((4,), -1, jnp.int32)
+    st2 = rt.append(st, pad, pad, jnp.zeros((4, 2), jnp.uint8), pad, pad,
+                    st.lens)
+    assert int(st2.vids[3, 0]) == 42          # not overwritten
+    assert int(st2.docids[3, 0]) == 42
+    np.testing.assert_array_equal(np.asarray(st2.codes[3, 0]), [7, 7])
+    # tombstone with -1 filler must also be inert
+    st3 = rt.tombstone(st2, pad, pad)
+    assert int(st3.vids[3, 0]) == 42

@@ -184,3 +184,57 @@ def test_engine_sharded_search(tmp_path, rng):
             assert 1000 <= it.docid <= 1999
     eng.disable_sharded_search()
     eng.close()
+
+
+def test_sharded_dense_matches_single(built, rng):
+    """Row-sharded dense scan + psum rerank == single-chip dense mode."""
+    from gamma_tpu.config import SearchParams
+    from gamma_tpu.parallel import shard_dense, sharded_dense_search_fn
+    store, idx = built
+    mesh = build_mesh(n_list_shards=4, n_query_shards=2)
+    sd = shard_dense(mesh, idx.recon, idx.recon_norms, idx.recon_valid,
+                     store.device)
+    fn = sharded_dense_search_fn(mesh, recall_num=64, k=10, metric="l2",
+                                 rerank=True,
+                                 rows_per_shard=sd.rows_per_shard)
+    q = jnp.asarray(rng.normal(size=(16, store.d)).astype(np.float32))
+    pen = jnp.zeros(sd.recon.shape[0], jnp.float32)
+    d, vids = jax.tree.map(np.asarray, fn(sd, q, pen, q))
+
+    sp = SearchParams.from_dict({"scan_mode": "dense", "recall_num": 64})
+    pen1 = jnp.zeros(store.n + 64, jnp.float32)
+    rd, rdoc, _ = idx.search(q, pen1, sp, 10)
+    rd, rdoc = np.asarray(rd), np.asarray(rdoc)
+    overlap = np.mean([len(set(vids[i]) & set(rdoc[i])) / 10
+                       for i in range(16)])
+    assert overlap >= 0.9, overlap
+    np.testing.assert_allclose(d[:, 0], rd[:, 0], rtol=1e-3, atol=1e-2)
+
+
+def test_engine_sharded_dense_dispatch(tmp_path, rng):
+    """Engine sharded mode uses the dense snapshot when scan mode is
+    dense, with parity against the pre-sharding results."""
+    from gamma_tpu import (Doc, EngineConfig, FieldInfo, GammaEngine,
+                           Request, TableInfo, VectorInfo, VectorQuery)
+    from gamma_tpu.config import DataType
+    eng = GammaEngine(EngineConfig(path=str(tmp_path)))
+    eng.create_table(TableInfo(
+        name="sd", fields=[FieldInfo("p", DataType.FLOAT)],
+        vectors=[VectorInfo("vec", 32)], indexing_size=1000,
+        retrieval_types=["IVFPQ"],
+        retrieval_params=[{"ncentroids": 32, "nsubvector": 8}]))
+    x = rng.normal(size=(1500, 32)).astype(np.float32)
+    eng.add_or_update_docs([Doc(key=f"k{i}", fields={"p": 0.0},
+                                vectors={"vec": x[i]})
+                            for i in range(1500)])
+    eng.flush()
+    req = Request(topn=5, vec_fields=[VectorQuery("vec", x[:8])],
+                  retrieval_params={"scan_mode": "dense"})
+    ref = eng.search(req)
+    eng.enable_sharded_search(n_list_shards=4, n_query_shards=2)
+    got = eng.search(req)
+    for b in range(8):
+        g = [it.docid for it in got.results[b].result_items]
+        r = [it.docid for it in ref.results[b].result_items]
+        assert g[0] == r[0] == b
+    eng.close()
