@@ -138,20 +138,19 @@ def main():
     ids = np.arange(n, dtype=np.int64)
     add_chunk = 65_536
     t_all = time.time()
-    t_steady = None
-    for ci, s in enumerate(range(0, n, add_chunk)):
+    chunk_rates = []
+    for s in range(0, n, add_chunk):
         e = min(n, s + add_chunk)
+        t0 = time.time()
         idx.add(store.device_rows(s, e), ids[s:e], ids[s:e])
-        if ci == 1:
-            jax.block_until_ready(idx.state.lens)
-            t_steady, n_steady = time.time(), e
-    jax.block_until_ready(idx.state.lens)
+        jax.block_until_ready(idx.state.lens)
+        chunk_rates.append((e - s) / (time.time() - t0))
     add_s = time.time() - t_all
-    if t_steady is not None and n > n_steady:
-        inserts_per_s = (n - n_steady) / (time.time() - t_steady)
-    else:
-        inserts_per_s = n / add_s
-    log(f"add: {add_s:.1f}s total; steady {inserts_per_s:,.0f} inserts/s")
+    # median chunk rate = steady-state throughput (excludes the compile
+    # stalls that growth shapes cost on their first-ever run)
+    inserts_per_s = float(np.median(chunk_rates))
+    log(f"add: {add_s:.1f}s total; steady {inserts_per_s:,.0f} inserts/s "
+        f"(median chunk; best {max(chunk_rates):,.0f})")
 
     # ---- recall (dense scan mode — the TPU-native ADC execution) ----
     penalty = jnp.zeros(store.device.shape[0], jnp.float32)
