@@ -155,11 +155,14 @@ class GammaEngine:
         existing = table.docid_by_key(doc.key)
         if existing >= 0 and not self.bitmap.test(existing):
             return self._update_doc(existing, doc)
+        # validate BEFORE any mutation: a mid-loop bail-out after
+        # table.add/store.add would leave the stores' vid<->docid
+        # alignment permanently skewed
+        if any(name not in doc.vectors for name in self.vm.stores):
+            return 1   # every vector field is required (as reference)
         docid = table.add(doc.key, doc.fields)
         self.range_index.add_doc(docid, doc.fields)
         for name, store in self.vm.stores.items():
-            if name not in doc.vectors:
-                return 1   # every vector field is required (as reference)
             rows = np.asarray(doc.vectors[name], np.float32).reshape(-1,
                                                                      store.d)
             self.vm.add_to_store(name, rows, docid)
@@ -272,7 +275,7 @@ class GammaEngine:
                               or store.n)
                 if n_train == 0:
                     continue
-                model.train(store.header(0, store.n))
+                model.train(store.header(0, n_train))
             self.flush()
             self._index_status = IndexStatus.INDEXED
             self.log.info("build_index done; indexed=%d",
@@ -320,7 +323,10 @@ class GammaEngine:
                                               self.table.n)
             m = np.zeros(self._device_rows, dtype=np.uint8)
             if mask is not None:
-                m[: mask.size] = mask
+                # docs ingested since the last flush may exceed the device
+                # row count — they are masked by validity anyway
+                take = min(mask.size, self._device_rows)
+                m[:take] = mask[:take]
             parts.append(pen_ops.mask_penalty(jnp.asarray(m)))
         return pen_ops.combine(parts)
 
@@ -518,24 +524,27 @@ class GammaEngine:
         if n_list_shards is None:
             n_list_shards = max(1, len(_jax.devices()) // n_query_shards)
         mesh = build_mesh(n_list_shards, n_query_shards)
-        sharded = shard_ivfpq(mesh, model.state, model.centroids,
-                              model.cent_norms, model.pq,
-                              model.store.device)
-        # dense-mode snapshot: reconstruction rows sharded over the same
-        # axis — multi-chip serving at dense-scan speed
-        from gamma_tpu.parallel import shard_dense
-        dense = shard_dense(mesh, model.recon, model.recon_norms,
-                            model.recon_valid, model.store.device)
+        # snapshots are built lazily per scan mode on first use — dense
+        # and gather modes each ship the raw matrix to the mesh, and most
+        # deployments only ever use one of them
         self._sharded = {"field": field, "mesh": mesh,
-                         "index": sharded, "dense": dense, "fns": {},
+                         "index": None, "dense": None, "fns": {},
                          "snapshot_n": model.indexed_count}
 
     def disable_sharded_search(self) -> None:
         self._sharded = None
 
+    @staticmethod
+    def _pad_pen(pen: jnp.ndarray, total: int) -> jnp.ndarray:
+        if pen.shape[0] < total:
+            return jnp.pad(pen, (0, total - pen.shape[0]),
+                           constant_values=BIG)
+        return pen[:total]
+
     def _sharded_search(self, vq, sp: SearchParams, k: int,
                         pen_doc: jnp.ndarray, store):
-        from gamma_tpu.parallel import (sharded_dense_search_fn,
+        from gamma_tpu.parallel import (shard_dense, shard_ivfpq,
+                                        sharded_dense_search_fn,
                                         sharded_ivfpq_search_fn)
         sh = self._sharded
         model = self.vm.index_for(sh["field"])
@@ -545,8 +554,13 @@ class GammaEngine:
         use_dense = (model.scan_mode(sp) == "dense"
                      and not store.vid_mgr.multi)
         if use_dense:
+            if sh["dense"] is None:
+                sh["dense"] = shard_dense(
+                    sh["mesh"], model.recon, model.recon_norms,
+                    model.recon_valid, model.store.device)
             key = ("dense", max(sp.recall_num, k), k,
-                   self._result_metric(sp), sp.has_rank)
+                   self._result_metric(sp), sp.has_rank,
+                   sp.recall_target)
             fn = sh["fns"].get(key)
             if fn is None:
                 fn = sharded_dense_search_fn(
@@ -555,35 +569,42 @@ class GammaEngine:
                     rows_per_shard=sh["dense"].rows_per_shard,
                     recall_target=sp.recall_target)
                 sh["fns"][key] = fn
-            total = sh["dense"].recon.shape[0]
-            pen = pen_doc
-            if pen.shape[0] < total:
-                pen = jnp.pad(pen, (0, total - pen.shape[0]),
-                              constant_values=BIG)
-            else:
-                pen = pen[:total]
+            pen = self._pad_pen(pen_doc, sh["dense"].recon.shape[0])
             d, vid = fn(sh["dense"], qrot, pen, qd)
-            return np.asarray(d), np.asarray(vid)
-        nprobe = min(sp.nprobe or model.p.nprobe, model.p.ncentroids)
-        key = (nprobe, max(sp.recall_num, k), k,
-               self._result_metric(sp), sp.has_rank)
-        fn = sh["fns"].get(key)
-        if fn is None:
-            fn = sharded_ivfpq_search_fn(
-                sh["mesh"], nprobe=key[0], recall_num=key[1], k=key[2],
-                metric=key[3], rerank=key[4],
-                v_per_shard=sh["index"].v_per_shard)
-            sh["fns"][key] = fn
-        # replicated penalty padded to the sharded raw-row count
-        total_rows = sh["index"].raw.shape[0]
-        pen = pen_doc
-        if pen.shape[0] < total_rows:
-            pen = jnp.pad(pen, (0, total_rows - pen.shape[0]),
-                          constant_values=BIG)
+            dists, docids = np.asarray(d), np.asarray(vid)
         else:
-            pen = pen[:total_rows]
-        d, doc, vid = fn(sh["index"], qrot, pen)
-        return np.asarray(d), np.asarray(doc)
+            if sh["index"] is None:
+                sh["index"] = shard_ivfpq(
+                    sh["mesh"], model.state, model.centroids,
+                    model.cent_norms, model.pq, model.store.device)
+            nprobe = min(sp.nprobe or model.p.nprobe, model.p.ncentroids)
+            key = (nprobe, max(sp.recall_num, k), k,
+                   self._result_metric(sp), sp.has_rank)
+            fn = sh["fns"].get(key)
+            if fn is None:
+                fn = sharded_ivfpq_search_fn(
+                    sh["mesh"], nprobe=key[0], recall_num=key[1],
+                    k=key[2], metric=key[3], rerank=key[4],
+                    v_per_shard=sh["index"].v_per_shard)
+                sh["fns"][key] = fn
+            pen = self._pad_pen(pen_doc, sh["index"].raw.shape[0])
+            d, doc, vid = fn(sh["index"], qrot, pen)
+            dists, docids = np.asarray(d), np.asarray(doc)
+
+        # realtime tail: docs indexed after the snapshot are served from
+        # the live single-chip index (penalty masks the snapshotted
+        # prefix) and merged by distance
+        if model.indexed_count > sh["snapshot_n"]:
+            tail_pen = pen_doc + jnp.where(
+                jnp.arange(pen_doc.shape[0]) < sh["snapshot_n"], BIG, 0.0)
+            td, tdoc, _ = model.search(qd, tail_pen, sp, k)
+            td, tdoc = np.asarray(td), np.asarray(tdoc)
+            alld = np.concatenate([dists, td], axis=1)
+            alli = np.concatenate([docids, tdoc], axis=1)
+            order = np.argsort(alld, axis=1)[:, :k]
+            dists = np.take_along_axis(alld, order, axis=1)
+            docids = np.take_along_axis(alli, order, axis=1)
+        return dists, docids
 
     # ================= point reads =================
 

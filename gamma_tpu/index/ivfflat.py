@@ -86,7 +86,10 @@ class IVFFlatIndex(RetrievalModel):
             jnp.asarray(positions, jnp.int32), codes,
             jnp.asarray(vids, jnp.int32), jnp.asarray(docids, jnp.int32),
             jnp.asarray(new_lens, jnp.int32))
-        self.indexed_count += x.shape[0]
+        # watermark = highest vid pumped + 1; update re-adds of old vids
+        # must not inflate it past fresh rows (pump skips them otherwise)
+        self.indexed_count = max(self.indexed_count,
+                                 int(np.max(vids)) + 1)
 
     def delete(self, vids: np.ndarray) -> None:
         vids = np.asarray(vids, np.int64)

@@ -268,7 +268,14 @@ class IVFPQIndex(RetrievalModel):
             new_cap = self.state.cap
             while new_cap < need:
                 new_cap *= 2
-            new_cap = min(max(new_cap, need), self.p.bucket_max_size)
+            if new_cap > self.p.bucket_max_size:
+                # bucket_max_size is a sizing hint (reference caps lists
+                # there); clamping below `need` would silently drop the
+                # overflow scatters, so grow anyway and say so
+                import logging
+                logging.getLogger("gamma_tpu").warning(
+                    "list capacity %d exceeds bucket_max_size %d",
+                    new_cap, self.p.bucket_max_size)
             self.state = rt.grow(self.state, new_cap)
             self.placer.cap = new_cap
         positions, new_lens = self.placer.place(list_ids, vids)
@@ -289,7 +296,10 @@ class IVFPQIndex(RetrievalModel):
         self.recon, self.recon_norms = _recon_append(
             self.recon, self.recon_norms, vids_d, recon, rnorms)
         self.recon_valid = _valid_set(self.recon_valid, vids_d, 0.0)
-        self.indexed_count += n
+        # watermark = highest vid pumped + 1; update re-adds of old vids
+        # must not inflate it past fresh rows (pump skips them otherwise)
+        self.indexed_count = max(self.indexed_count,
+                                 int(np.max(vids)) + 1)
 
     def delete(self, vids: np.ndarray) -> None:
         vids = np.asarray(vids, dtype=np.int64)

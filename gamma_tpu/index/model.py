@@ -9,6 +9,7 @@ post-filter, so Search takes a penalty instead of a context object.
 from __future__ import annotations
 
 import abc
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax.numpy as jnp
@@ -30,6 +31,11 @@ class RetrievalModel(abc.ABC):
         self.store = raw_store
         self.params = params or {}
         self.indexed_count = 0     # vids pumped into the index so far
+        # serializes mutations (add/update/delete/compact): the indexer
+        # pump runs off the engine's ingest lock, so a client delete and
+        # a pump append must not interleave their state swaps (searches
+        # stay lock-free on snapshots)
+        self.mutate_lock = threading.Lock()
 
     # ---- lifecycle ----
 

@@ -68,8 +68,10 @@ def dense_scan_search(recon: jnp.ndarray,        # [N_cap, d] bf16
     `queries_raw`/`raw` stay unrotated — the rotation is orthogonal, so
     exact distances agree between the two spaces."""
     qf = queries.astype(jnp.float32)
+    # match the mirror's dtype: with a float32 recon the query must stay
+    # f32 too or candidate selection keeps bf16-level error anyway
     cross = jax.lax.dot_general(
-        queries.astype(jnp.bfloat16), recon,
+        queries.astype(recon.dtype), recon,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     if metric == "ip":

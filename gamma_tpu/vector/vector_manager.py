@@ -106,7 +106,8 @@ class VectorManager:
                         else store.header(start, end))
                 vids = np.arange(start, end, dtype=np.int64)
                 docids = store.vid_mgr.vid2doc(vids)
-                model.add(rows, vids, docids)
+                with model.mutate_lock:
+                    model.add(rows, vids, docids)
                 moved += end - start
         # updates: tombstone + re-add (reference: Update drain :340-366)
         with self._lock:
@@ -125,7 +126,9 @@ class VectorManager:
                         # only re-add vids already indexed
                         sel = vids < model.indexed_count
                         if sel.any():
-                            model.update(vids[sel], rows[sel], docids[sel])
+                            with model.mutate_lock:
+                                model.update(vids[sel], rows[sel],
+                                             docids[sel])
         return moved
 
     def min_indexed_num(self) -> int:
@@ -136,11 +139,13 @@ class VectorManager:
         for field, vids in field_vids.items():
             for key, model in self.indexes.items():
                 if key.rsplit("_", 1)[0] == field:
-                    model.delete(vids)
+                    with model.mutate_lock:
+                        model.delete(vids)
 
     def compact_if_needed(self) -> None:
         for m in self.indexes.values():
-            m.compact()
+            with m.mutate_lock:
+                m.compact()
 
     # ---- persistence (reference: Dump/Load vector_manager.cc:731-804) ----
 

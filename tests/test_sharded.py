@@ -238,3 +238,36 @@ def test_engine_sharded_dense_dispatch(tmp_path, rng):
         r = [it.docid for it in ref.results[b].result_items]
         assert g[0] == r[0] == b
     eng.close()
+
+
+def test_engine_sharded_realtime_tail(tmp_path, rng):
+    """Docs ingested after the sharded snapshot stay searchable (served
+    from the live index, merged by distance)."""
+    from gamma_tpu import (Doc, EngineConfig, FieldInfo, GammaEngine,
+                           Request, TableInfo, VectorInfo, VectorQuery)
+    from gamma_tpu.config import DataType
+    eng = GammaEngine(EngineConfig(path=str(tmp_path)))
+    eng.create_table(TableInfo(
+        name="rt", fields=[FieldInfo("p", DataType.FLOAT)],
+        vectors=[VectorInfo("vec", 32)], indexing_size=800,
+        retrieval_types=["IVFPQ"],
+        retrieval_params=[{"ncentroids": 16, "nsubvector": 8}]))
+    x = rng.normal(size=(1300, 32)).astype(np.float32)
+    eng.add_or_update_docs([Doc(key=f"k{i}", fields={"p": 0.0},
+                                vectors={"vec": x[i]})
+                            for i in range(1000)])
+    eng.flush()
+    eng.enable_sharded_search(n_list_shards=4, n_query_shards=1)
+    # ingest new docs AFTER the snapshot
+    eng.add_or_update_docs([Doc(key=f"k{i}", fields={"p": 0.0},
+                                vectors={"vec": x[i]})
+                            for i in range(1000, 1300)])
+    eng.flush()
+    r = eng.search(Request(topn=3,
+                           vec_fields=[VectorQuery("vec", x[1250])]))
+    assert r.results[0].result_items[0].docid == 1250
+    # snapshot-era docs still found too
+    r2 = eng.search(Request(topn=3,
+                            vec_fields=[VectorQuery("vec", x[10])]))
+    assert r2.results[0].result_items[0].docid == 10
+    eng.close()
