@@ -179,12 +179,16 @@ class HNSWIndex(RetrievalModel):
                                if mt in ("IP", "INNERPRODUCT",
                                          "INNER_PRODUCT")
                                else MetricType.L2)
-        # link width = out-edges + reverse edges: reverse edges make the
-        # graph undirected so no node is unreachable (hnswlib also keeps
-        # bidirectional links; pure pruned kNN graphs strand ~5-10% of
-        # nodes with in-degree 0)
+        # link width = out-edges + reverse edges + long-range edges.
+        # Reverse edges make the graph undirected (no in-degree-0 nodes;
+        # hnswlib also keeps bidirectional links).  Long-range random
+        # edges connect the components a pure kNN graph leaves isolated
+        # on clustered data — the role of HNSW's upper layers (measured:
+        # without them, recall saturates at the probability that an
+        # entry point lands in the query's cluster).
         self.n_reverse = max(4, self.nlinks // 2)
-        width = self.nlinks + self.n_reverse
+        self.n_long = max(4, self.nlinks // 8)
+        width = self.nlinks + self.n_reverse + self.n_long
         self.links = jnp.full((NODE_PAD, width), -1, jnp.int32)
         self.n_nodes = 0        # graph covers vids [0, n_nodes)
 
@@ -253,7 +257,12 @@ class HNSWIndex(RetrievalModel):
         keep = rank < self.n_reverse
         rev = np.full((end, self.n_reverse), -1, np.int32)
         rev[dst[keep], rank[keep]] = src[keep]
-        full = np.concatenate([out_np, rev], axis=1)
+        # long-range edges: a random permutation per slot (deterministic)
+        lrng = np.random.default_rng(end)
+        longe = np.stack([lrng.permutation(end).astype(np.int32)
+                          for _ in range(self.n_long)], axis=1)
+        longe[longe == np.arange(end, dtype=np.int32)[:, None]] = -1
+        full = np.concatenate([out_np, rev, longe], axis=1)
         # final sweep: force-link any node still unreferenced
         for _ in range(4):
             indeg = np.bincount(full[full >= 0].ravel(), minlength=end)
@@ -300,7 +309,9 @@ class HNSWIndex(RetrievalModel):
             pen = pen[:cap]
         # graph rows only; the tail is handled by the flat merge below
         pen_graph = jnp.where(jnp.arange(cap) < self.n_nodes, pen, BIG)
-        stride = max(1, self.n_nodes // 1024)
+        # entry density scales with ef: enough samples that every basin
+        # of attraction gets one (the long-range edges cover the rest)
+        stride = max(1, self.n_nodes // max(2048, 4 * ef))
         iters = max(4, int(np.ceil(np.log2(max(self.n_nodes, 2)))) - 2)
         d, ids = _beam_search(
             self.store.device[:cap], self.store.device_norms[:cap],
