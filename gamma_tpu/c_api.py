@@ -136,9 +136,14 @@ def GetConfig(handle: int) -> bytes:
 
 
 def SetConfig(handle: int, config_bytes: bytes) -> int:
+    """Runtime tuning (reference: GetConfig/SetConfig alter cache sizes,
+    gamma_engine.cc:1356-1382); here the live knob is the admission-
+    control width."""
     cfg = wire.unpack_config(config_bytes)
     eng = _get(handle)
-    eng.config.max_concurrent = cfg.max_concurrent
+    if cfg.max_concurrent != eng.config.max_concurrent:
+        eng.config.max_concurrent = cfg.max_concurrent
+        eng.set_max_concurrent(cfg.max_concurrent)
     return 0
 
 

@@ -630,6 +630,12 @@ class GammaEngine:
 
     # ================= status / config =================
 
+    def set_max_concurrent(self, n: int) -> None:
+        """Resize admission control at runtime (reference SetConfig
+        semantics).  In-flight searches finish under the old semaphore;
+        new searches use the new one."""
+        self._search_sem = threading.Semaphore(max(1, int(n)))
+
     def engine_status(self) -> EngineStatus:
         vmem, imem = self.vm.mem_bytes()
         return EngineStatus(

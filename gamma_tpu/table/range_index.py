@@ -92,13 +92,17 @@ class MultiFieldsRangeIndex:
         if n > start:
             pad = -(-(n - start) // 1024) * 1024
             idx = np.arange(start, start + pad, dtype=np.int64)
-            idx = np.minimum(idx, rows - 1)
+            # padded tail must be DROPPED, not clamped (clamping writes a
+            # zero over the last real row); scatter mode="drop" discards
+            # positive out-of-bounds indices
+            idx[n - start:] = 0x40000000
             for name in self.numeric_fields:
                 vals = np.zeros(pad, np.float32)
                 vals[: n - start] = self.table.column(name)[
                     start:n].astype(np.float32)
                 self._device_cols[name] = self._device_cols[name].at[
-                    jnp.asarray(idx)].set(jnp.asarray(vals))
+                    jnp.asarray(idx)].set(jnp.asarray(vals),
+                                          mode="drop")
             self._mirrored = n
         if dirty:
             didx = np.asarray([d for d in dirty if d < n], np.int64)
@@ -151,8 +155,10 @@ class MultiFieldsRangeIndex:
         for rf in range_filters:
             col = self._device_cols.get(rf.field)
             if col is None:
-                # field not mirrored yet (no flush) → mask everything;
-                # engine flushes before first search so this is a guard.
+                # field not mirrored yet (no flush): fail CLOSED — a
+                # filter that cannot be evaluated must not admit docs
+                out.append(jnp.full((max(self._device_rows, 1),),
+                                    np.float32(3.0e38)))
                 continue
             out.append(pen_ops.range_penalty(
                 col, rf.lower_value, rf.upper_value,

@@ -227,8 +227,11 @@ class Table:
         with open(fp, "rb") as f:
             state = pickle.load(f)
         n = state["n"] if doc_num is None else min(doc_num, state["n"])
-        self.n = n
+        # grow BEFORE publishing n: _grow copies self.n old rows, and a
+        # checkpoint larger than the current capacity would otherwise
+        # broadcast-error
         self._grow(max(n, 1))
+        self.n = n
         for k, v in state["columns"].items():
             self.columns[k][: n] = v[: n]
         for k, (buf, offs, lens) in state["heaps"].items():

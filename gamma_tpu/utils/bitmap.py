@@ -103,10 +103,14 @@ class BitmapManager:
         return np.where(inr, vals.astype(bool), False)
 
     def as_bool_array(self, n: int) -> np.ndarray:
-        """First n bits as a bool vector (for device penalty build)."""
-        nbytes = (n + 7) // 8
-        self._ensure(n - 1 if n > 0 else 0)
-        unpacked = np.unpackbits(self.bits[:nbytes], bitorder="little")
+        """First n bits as a bool vector (for device penalty build).
+        Takes the lock: _ensure may swap the bits array, and a concurrent
+        set() against the discarded array would lose a delete."""
+        with self._lock:
+            nbytes = (n + 7) // 8
+            self._ensure(n - 1 if n > 0 else 0)
+            bits = self.bits[:nbytes].copy()
+        unpacked = np.unpackbits(bits, bitorder="little")
         return unpacked[:n].astype(bool)
 
     def mem_bytes(self) -> int:

@@ -43,8 +43,7 @@ def write_fvecs(path: str, mat: np.ndarray) -> None:
     mat = np.asarray(mat, dtype=np.float32)
     n, d = mat.shape
     out = np.empty((n, d + 1), dtype=np.float32)
-    out[:, 0] = np.frombuffer(np.int32(d).tobytes() * 1, dtype=np.float32)[0]
-    # write the int32 dim via a view to keep exact bit pattern
+    # write the int32 dim via a view to keep the exact bit pattern
     out_view = out.view(np.int32)
     out_view[:, 0] = d
     out[:, 1:] = mat

@@ -129,9 +129,23 @@ class RawVectorStore:
         new_cap = self._host_cap
         while new_cap < need:
             new_cap *= 2
-        fresh = self._alloc_host(new_cap)
-        fresh[: self.n] = self._host[: self.n]
-        self._host = fresh
+        if self.store_type == "Mmap" and self.root_path:
+            # open_memmap(mode="w+") truncates the inode the live memmap
+            # still backs — grow via a sibling file, then replace
+            path = os.path.join(self.root_path, f"{self.name}.vec")
+            tmp = path + ".grow"
+            fresh = np.lib.format.open_memmap(
+                tmp, mode="w+", dtype=np.float32,
+                shape=(new_cap, self.d))
+            fresh[: self.n] = self._host[: self.n]
+            fresh.flush()
+            del self._host
+            os.replace(tmp, path)
+            self._host = np.lib.format.open_memmap(path, mode="r+")
+        else:
+            fresh = self._alloc_host(new_cap)
+            fresh[: self.n] = self._host[: self.n]
+            self._host = fresh
         self._host_cap = new_cap
 
     # ---- public API (mirrors RawVector Add/Update/GetVector/Gets) ----

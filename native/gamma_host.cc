@@ -134,7 +134,9 @@ struct Storage {
     return true;
   }
 
-  uint64_t total_items() const {
+  uint64_t total_items() {
+    // grow_mu: ensure_seg's push_back can reallocate the vector
+    std::lock_guard<std::mutex> g(grow_mu);
     uint64_t n = 0;
     for (auto* s : segs) n += s->hdr->items.load();
     return n;
@@ -145,7 +147,12 @@ struct Storage {
     while (!stop.load()) {
       sync_cv.wait_for(lk, std::chrono::milliseconds(200));
       if (dirty.exchange(false)) {
-        for (auto* s : segs)
+        std::vector<Segment*> snapshot;
+        {
+          std::lock_guard<std::mutex> g(grow_mu);
+          snapshot = segs;   // copy under lock: push_back reallocates
+        }
+        for (auto* s : snapshot)
           ::msync(s->base, s->map_len, MS_ASYNC);   // coalesced flush
       }
     }
@@ -290,6 +297,7 @@ API int gsm_update(void* h, int64_t id, const void* data) {
 // string heap: handle = (seg << 40) | offset ; layout [u32 len][bytes]
 API int64_t gsm_add_str(void* h, const char* str, int64_t len) {
   auto* s = as_storage(h);
+  if (4 + (uint64_t)len > s->str_cap_per_seg) return -1;  // can never fit
   for (size_t si = 0;; si++) {
     if (!s->ensure_seg(si)) return -1;
     Segment* seg = s->segs[si];
