@@ -84,8 +84,12 @@ class GammaEngine:
         self.vm = VectorManager(config.path)
         self.range_index: Optional[MultiFieldsRangeIndex] = None
         self.bitmap = BitmapManager()
-        self.bitmap.open_file(os.path.join(config.path, "bitmap.dat"))
-        self.delete_num = 0
+        # load=True: an existing bitmap file must survive restart —
+        # deleted docs resurrect otherwise (reference loads before any
+        # write: gamma_engine.cc:253-271, bitmap_manager.cc:96-158)
+        self.bitmap.open_file(os.path.join(config.path, "bitmap.dat"),
+                              load=True)
+        self.delete_num = self.bitmap.set_count
         self.max_docid = 0
 
         # device validity (penalty form): grown/updated at flush
@@ -526,10 +530,13 @@ class GammaEngine:
         mesh = build_mesh(n_list_shards, n_query_shards)
         # snapshots are built lazily per scan mode on first use — dense
         # and gather modes each ship the raw matrix to the mesh, and most
-        # deployments only ever use one of them
+        # deployments only ever use one of them.  snapshot extents are
+        # recorded AT BUILD TIME (per mode, under the model's mutate
+        # lock) so rows indexed between enable() and the first search are
+        # never in both the snapshot and the realtime tail.
         self._sharded = {"field": field, "mesh": mesh,
                          "index": None, "dense": None, "fns": {},
-                         "snapshot_n": model.indexed_count}
+                         "snap_n": {}}
 
     def disable_sharded_search(self) -> None:
         self._sharded = None
@@ -549,18 +556,31 @@ class GammaEngine:
         sh = self._sharded
         model = self.vm.index_for(sh["field"])
         q = np.asarray(vq.value, np.float32).reshape(-1, store.d)
-        qd = jnp.asarray(q)
+        b = q.shape[0]
+        # shard_map partitions the batch over the "q" axis: pad to a
+        # multiple of it (a 1-query request on a 2-way query mesh must
+        # not be a sharding error)
+        n_q = sh["mesh"].shape["q"]
+        b_pad = -(-_next_pow2(b) // n_q) * n_q
+        qp = np.zeros((b_pad, store.d), np.float32)
+        qp[:b] = q
+        qd = jnp.asarray(qp)
         qrot = model._rotate(qd)
         use_dense = (model.scan_mode(sp) == "dense"
                      and not store.vid_mgr.multi)
         if use_dense:
             if sh["dense"] is None:
-                sh["dense"] = shard_dense(
-                    sh["mesh"], model.recon, model.recon_norms,
-                    model.recon_valid, model.store.device)
+                # capture refs + extent atomically vs the indexer pump:
+                # rows indexed after this point belong to the tail only
+                with model.mutate_lock:
+                    snap = (model.recon, model.recon_norms,
+                            model.recon_valid, model.store.device)
+                    sh["snap_n"]["dense"] = model.indexed_count
+                sh["dense"] = shard_dense(sh["mesh"], *snap)
+            snap_n = sh["snap_n"]["dense"]
             key = ("dense", max(sp.recall_num, k), k,
                    self._result_metric(sp), sp.has_rank,
-                   sp.recall_target)
+                   sp.recall_target, b_pad)
             fn = sh["fns"].get(key)
             if fn is None:
                 fn = sharded_dense_search_fn(
@@ -574,12 +594,16 @@ class GammaEngine:
             dists, docids = np.asarray(d), np.asarray(vid)
         else:
             if sh["index"] is None:
-                sh["index"] = shard_ivfpq(
-                    sh["mesh"], model.state, model.centroids,
-                    model.cent_norms, model.pq, model.store.device)
+                with model.mutate_lock:
+                    snap = (model.state, model.centroids,
+                            model.cent_norms, model.pq,
+                            model.store.device)
+                    sh["snap_n"]["gather"] = model.indexed_count
+                sh["index"] = shard_ivfpq(sh["mesh"], *snap)
+            snap_n = sh["snap_n"]["gather"]
             nprobe = min(sp.nprobe or model.p.nprobe, model.p.ncentroids)
             key = (nprobe, max(sp.recall_num, k), k,
-                   self._result_metric(sp), sp.has_rank)
+                   self._result_metric(sp), sp.has_rank, b_pad)
             fn = sh["fns"].get(key)
             if fn is None:
                 fn = sharded_ivfpq_search_fn(
@@ -588,15 +612,15 @@ class GammaEngine:
                     v_per_shard=sh["index"].v_per_shard)
                 sh["fns"][key] = fn
             pen = self._pad_pen(pen_doc, sh["index"].raw.shape[0])
-            d, doc, vid = fn(sh["index"], qrot, pen)
+            d, doc, vid = fn(sh["index"], qrot, pen, qd)
             dists, docids = np.asarray(d), np.asarray(doc)
 
         # realtime tail: docs indexed after the snapshot are served from
         # the live single-chip index (penalty masks the snapshotted
         # prefix) and merged by distance
-        if model.indexed_count > sh["snapshot_n"]:
+        if model.indexed_count > snap_n:
             tail_pen = pen_doc + jnp.where(
-                jnp.arange(pen_doc.shape[0]) < sh["snapshot_n"], BIG, 0.0)
+                jnp.arange(pen_doc.shape[0]) < snap_n, BIG, 0.0)
             td, tdoc, _ = model.search(qd, tail_pen, sp, k)
             td, tdoc = np.asarray(td), np.asarray(tdoc)
             alld = np.concatenate([dists, td], axis=1)
@@ -604,7 +628,7 @@ class GammaEngine:
             order = np.argsort(alld, axis=1)[:, :k]
             dists = np.take_along_axis(alld, order, axis=1)
             docids = np.take_along_axis(alli, order, axis=1)
-        return dists, docids
+        return dists[:b], docids[:b]
 
     # ================= point reads =================
 
@@ -700,13 +724,12 @@ class GammaEngine:
         for docid in range(self.table.n):
             self.range_index.add_doc(docid, self.table.get_doc(docid))
         # deleted docs recounted from bitmap (reference :1258-1270)
-        self.delete_num = sum(1 for d in range(self.table.n)
-                              if self.bitmap.test(d))
+        dead = np.flatnonzero(self.bitmap.as_bool_array(self.table.n))
+        self.delete_num = int(dead.size)
         self._live_flushed = 0
         self._validity = pen_ops.init_validity(ROW_PAD)
         self._device_rows = ROW_PAD
-        self._pending_dead = [d for d in range(self.table.n)
-                              if self.bitmap.test(d)]
+        self._pending_dead = dead.tolist()
         self.flush()
         if any(m.trained() for m in self.vm.indexes.values()):
             self._index_status = IndexStatus.INDEXED

@@ -283,9 +283,14 @@ class HNSWIndex(RetrievalModel):
         """Growth-triggered batch rebuild; the tail between rebuilds is
         covered by the fused flat scan in search()."""
         hi = int(np.max(vids)) + 1 if len(vids) else 0
-        hi = min(hi, self.store.flushed)
-        if hi > max(4 * self.nlinks, int(self.n_nodes * 1.25)):
-            self._bulk_build(hi)
+        # only the rebuild EXTENT is clamped to the flushed device mirror;
+        # the watermark must advance unconditionally or the pump loop
+        # (`while indexed_count < store.n`) livelocks when docs land
+        # between flush_device() and the pump.  Rows in [flushed, hi) are
+        # covered at search time by the flat tail scan once they flush.
+        build_hi = min(hi, self.store.flushed)
+        if build_hi > max(4 * self.nlinks, int(self.n_nodes * 1.25)):
+            self._bulk_build(build_hi)
         self.indexed_count = max(self.indexed_count, hi)
 
     def delete(self, vids) -> None:

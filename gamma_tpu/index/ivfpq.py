@@ -348,7 +348,10 @@ class IVFPQIndex(RetrievalModel):
     def scan_mode(self, sp: SearchParams) -> str:
         mode = sp.scan_mode or self.p.scan_mode
         if mode == "auto":
-            mode = ("dense" if self.recon.size * 2 <= DENSE_BYTES_BUDGET
+            mirror_bytes = (self.recon.size * self.recon.dtype.itemsize
+                            + self.recon_norms.size * 4
+                            + self.recon_valid.size * 4)
+            mode = ("dense" if mirror_bytes <= DENSE_BYTES_BUDGET
                     else "gather")
         return mode
 
@@ -379,7 +382,7 @@ class IVFPQIndex(RetrievalModel):
                      else "xla")
         return ivf_scan.ivfpq_search(
             self.state, self.centroids, self.cent_norms, self.pq,
-            q, penalty, self.store.device,
+            q, penalty, self.store.device, queries,
             nprobe=nprobe, recall_num=recall_num, k=k, metric=metric,
             rerank=sp.has_rank, scan_impl=scan_impl)
 

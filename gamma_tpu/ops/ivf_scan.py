@@ -106,6 +106,7 @@ def ivfpq_search(state: IVFState,
                  queries: jnp.ndarray,        # [B, d] (pre-rotated if OPQ)
                  penalty: jnp.ndarray,        # [N_cap] f32
                  raw_vectors: jnp.ndarray,    # [V_cap, d] (bf16/f32)
+                 queries_raw: Optional[jnp.ndarray] = None,
                  *, nprobe: int, recall_num: int, k: int,
                  metric: str = "l2", rerank: bool = True,
                  scan_impl: str = "xla"):
@@ -148,7 +149,10 @@ def ivfpq_search(state: IVFState,
     rd, rdoc, rvid = _select_candidates(dist, docids_g, vids_g, recall_num)
     if not rerank:
         return topk_like(rd, rdoc, rvid, k)
-    return _rerank(queries, rd, rdoc, rvid, raw_vectors, penalty, k, metric)
+    # rerank compares against UNROTATED raw rows — with OPQ the caller
+    # must pass the unrotated queries or distances mix two spaces
+    qr = queries if queries_raw is None else queries_raw
+    return _rerank(qr, rd, rdoc, rvid, raw_vectors, penalty, k, metric)
 
 
 def topk_like(rd, rdoc, rvid, k):

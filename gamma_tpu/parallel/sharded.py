@@ -149,6 +149,7 @@ def shard_ivfpq(mesh: Mesh, state: IVFState, centroids, cent_norms,
 
 def _local_ivfpq_search(codes, vids, docids, lens, cents_l, cnorms_l,
                         cb, cb_norms, queries, penalty, raw_l,
+                        queries_raw,
                         *, nprobe, local_probe, recall_num, k, metric,
                         rerank, v_per_shard):
     codebooks = pq_ops.PQCodebooks(cb, cb_norms)
@@ -217,7 +218,9 @@ def _local_ivfpq_search(codes, vids, docids, lens, cents_l, cnorms_l,
                       axis=0).astype(jnp.float32)
     rows_l = jnp.where(in_range[..., None], rows_l, 0.0)
     rows = jax.lax.psum(rows_l, LIST_AXIS)            # [B, R, d]
-    qf = queries.astype(jnp.float32)[:, None, :]
+    # exact rerank runs in the UNROTATED space (raw rows are unrotated);
+    # with OPQ `queries` is rotated, so use queries_raw here
+    qf = queries_raw.astype(jnp.float32)[:, None, :]
     if metric == "ip":
         exact = -jnp.sum(qf * rows, axis=-1)
     else:
@@ -264,16 +267,18 @@ def sharded_ivfpq_search_fn(mesh: Mesh, *, nprobe: int, recall_num: int,
                   lists2, lists1,                       # centroids
                   rep, rep,                             # codebooks
                   qrow, rep,                            # queries, penalty
-                  lists2),                              # raw rows
+                  lists2,                               # raw rows
+                  qrow),                                # queries_raw
         out_specs=(qrow, qrow, qrow))
 
     @jax.jit
-    def search(sharded: ShardedIVFPQ, queries, penalty):
+    def search(sharded: ShardedIVFPQ, queries, penalty, queries_raw=None):
         st = sharded.state
+        qr = queries if queries_raw is None else queries_raw
         return fn(st.codes, st.vids, st.docids, st.lens,
                   sharded.centroids, sharded.cent_norms,
                   sharded.codebooks.codebooks, sharded.codebooks.cb_norms,
-                  queries, penalty, sharded.raw)
+                  queries, penalty, sharded.raw, qr)
 
     return search
 

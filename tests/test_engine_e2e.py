@@ -141,6 +141,39 @@ def test_lifecycle(tmp_path, model, store_type):
                 if int(qi[b]) in [it.docid for it in sr.result_items]
                 and int(qi[b]) != target)
     assert hits2 >= min_hits - 2
+    # the delete must SURVIVE the restart (reference loads the bitmap
+    # file on Setup, gamma_engine.cc:253-271): absent from search,
+    # get_doc, and still counted
+    assert eng2.get_doc_by_key(f"key_{target}") is None
+    assert eng2.engine_status().delete_num == 1
+    for sr in resp3.results:
+        assert all(it.docid != target for it in sr.result_items)
+    eng2.close()
+
+
+def test_delete_persists_across_restart(tmp_path):
+    """Delete → dump → close → reopen → load: the deleted doc must NOT
+    resurrect (round-1 confirmed bug: the engine re-wrote a fresh
+    all-zero bitmap over the existing file on open)."""
+    rng = np.random.default_rng(29)
+    x = corpus(rng, n=50)
+    eng = make_engine(tmp_path, "FLAT")
+    add_docs(eng, x)
+    eng.flush()
+    assert eng.delete("key_3") == 0
+    eng.dump()
+    eng.close()
+
+    eng2 = GammaEngine(EngineConfig(path=str(tmp_path)))
+    assert eng2.load() == 0
+    assert eng2.bitmap.test(3)
+    assert eng2.engine_status().delete_num == 1
+    assert eng2.get_doc_by_key("key_3") is None
+    resp = eng2.search(Request(
+        topn=5, vec_fields=[VectorQuery("vec", x[3])]))
+    assert all(it.docid != 3 for it in resp.results[0].result_items)
+    # deleting again reports "already deleted"
+    assert eng2.delete("key_3") == -1
     eng2.close()
 
 

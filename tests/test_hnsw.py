@@ -113,3 +113,30 @@ def test_alias_models_create(corpus_small):
     for name in ("IVFPQ_FASTSCAN", "VEARCH", "SCANN"):
         m = create_model(name, store, {"ncentroids": 16, "nsubvector": 4})
         assert m is not None
+
+
+def test_pump_terminates_on_unflushed_rows(rng):
+    """Rows ingested between flush_device() and the pump must not
+    livelock the pump loop: indexed_count advances past store.flushed
+    (only the graph-rebuild extent is clamped to flushed)."""
+    x = rng.normal(size=(600, 16)).astype(np.float32)
+    store = RawVectorStore("vec", 16)
+    store.add(x[:500])
+    store.flush_device()
+    idx = HNSWIndex(store, {"nlinks": 8})
+    store.add(x[500:])          # NOT flushed — the race window
+    spins = 0
+    while idx.indexed_count < store.n:     # the vm pump loop
+        start = idx.indexed_count
+        end = min(start + 128, store.n)
+        vids = np.arange(start, end, dtype=np.int64)
+        idx.add(store.header(start, end), vids, vids)
+        spins += 1
+        assert spins < 100, "pump livelocked"
+    assert idx.indexed_count == store.n
+    # after the next flush, the tail is searchable via the flat merge
+    store.flush_device()
+    pen = jnp.zeros(store.device.shape[0], jnp.float32)
+    d, ids, _ = idx.search(jnp.asarray(x[550:551]), pen,
+                           SearchParams.from_dict({}), 3)
+    assert int(np.asarray(ids)[0, 0]) == 550

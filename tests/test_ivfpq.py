@@ -105,3 +105,27 @@ def test_dump_load_roundtrip(built, tmp_path):
     d2, i2, _ = idx2.search(jnp.asarray(q), pen, sp, k=5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+
+
+def test_opq_gather_rerank_space(rng_mod):
+    """With OPQ, the gather-mode exact rerank must use the UNROTATED
+    query against raw rows: self-retrieval distance ~0, top-1 exact."""
+    rng = rng_mod
+    n, d = 4096, 32
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    store = RawVectorStore("vec", d)
+    store.add(x)
+    store.flush_device()
+    idx = IVFPQIndex(store, {"ncentroids": 32, "nsubvector": 8,
+                             "nprobe": 32, "has_opq": True,
+                             "scan_mode": "gather"})
+    idx.train(x)
+    vids = np.arange(n, dtype=np.int64)
+    idx.add(x, vids, vids)
+    pen = jnp.zeros(n + 64, jnp.float32)
+    sp = SearchParams.from_dict({"recall_num": 64,
+                                 "scan_mode": "gather"})
+    dists, docs, _ = idx.search(jnp.asarray(x[:8]), pen, sp, 5)
+    dists, docs = np.asarray(dists), np.asarray(docs)
+    assert list(docs[:, 0]) == list(range(8))
+    assert np.all(dists[:, 0] < 1e-2), dists[:, 0]

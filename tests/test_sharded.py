@@ -240,6 +240,93 @@ def test_engine_sharded_dense_dispatch(tmp_path, rng):
     eng.close()
 
 
+def test_engine_sharded_single_query_padding(tmp_path, rng):
+    """A 1-query request on an n_query_shards=2 mesh must pad, not raise
+    a sharding error (shard_map needs B divisible by the q axis)."""
+    from gamma_tpu import (Doc, EngineConfig, FieldInfo, GammaEngine,
+                           Request, TableInfo, VectorInfo, VectorQuery)
+    from gamma_tpu.config import DataType
+    eng = GammaEngine(EngineConfig(path=str(tmp_path)))
+    eng.create_table(TableInfo(
+        name="p1", fields=[FieldInfo("p", DataType.FLOAT)],
+        vectors=[VectorInfo("vec", 32)], indexing_size=900,
+        retrieval_types=["IVFPQ"],
+        retrieval_params=[{"ncentroids": 16, "nsubvector": 8}]))
+    x = rng.normal(size=(1200, 32)).astype(np.float32)
+    eng.add_or_update_docs([Doc(key=f"k{i}", fields={"p": 0.0},
+                                vectors={"vec": x[i]})
+                            for i in range(1200)])
+    eng.flush()
+    eng.enable_sharded_search(n_list_shards=4, n_query_shards=2)
+    for nq in (1, 3):   # neither divides 2
+        r = eng.search(Request(topn=5,
+                               vec_fields=[VectorQuery("vec", x[:nq])]))
+        assert len(r.results) == nq
+        for b in range(nq):
+            assert r.results[b].result_items[0].docid == b
+    eng.close()
+
+
+def test_engine_sharded_no_tail_duplicates(tmp_path, rng):
+    """Rows indexed between enable_sharded_search() and the lazy snapshot
+    build must not appear twice (snapshot extent is recorded at build
+    time, not enable time)."""
+    from gamma_tpu import (Doc, EngineConfig, FieldInfo, GammaEngine,
+                           Request, TableInfo, VectorInfo, VectorQuery)
+    from gamma_tpu.config import DataType
+    eng = GammaEngine(EngineConfig(path=str(tmp_path)))
+    eng.create_table(TableInfo(
+        name="nd", fields=[FieldInfo("p", DataType.FLOAT)],
+        vectors=[VectorInfo("vec", 32)], indexing_size=800,
+        retrieval_types=["IVFPQ"],
+        retrieval_params=[{"ncentroids": 16, "nsubvector": 8}]))
+    x = rng.normal(size=(1400, 32)).astype(np.float32)
+    eng.add_or_update_docs([Doc(key=f"k{i}", fields={"p": 0.0},
+                                vectors={"vec": x[i]})
+                            for i in range(1000)])
+    eng.flush()
+    eng.enable_sharded_search(n_list_shards=4, n_query_shards=1)
+    # ingest + flush BEFORE the first sharded search: these rows land in
+    # the live index; the snapshot (built lazily below) includes them too
+    eng.add_or_update_docs([Doc(key=f"k{i}", fields={"p": 0.0},
+                                vectors={"vec": x[i]})
+                            for i in range(1000, 1400)])
+    eng.flush()
+    r = eng.search(Request(topn=10,
+                           vec_fields=[VectorQuery("vec", x[1200])]))
+    got = [it.docid for it in r.results[0].result_items]
+    assert got[0] == 1200
+    assert len(got) == len(set(got)), f"duplicate docids: {got}"
+    eng.close()
+
+
+def test_sharded_gather_rerank_opq_space(rng):
+    """With OPQ the exact rerank must compare raw rows against the
+    UNROTATED query; self-retrieval distance is then ~0."""
+    corpus = rng.normal(size=(4096, 32)).astype(np.float32)
+    store = RawVectorStore("vec", 32)
+    store.add(corpus)
+    store.flush_device()
+    idx = IVFPQIndex(store, {"ncentroids": 32, "nsubvector": 8,
+                             "nprobe": 32, "has_opq": True})
+    idx.train(corpus)
+    ids = np.arange(corpus.shape[0], dtype=np.int64)
+    idx.add(corpus, ids, ids)
+    mesh = build_mesh(n_list_shards=4, n_query_shards=2)
+    sh = shard_ivfpq(mesh, idx.state, idx.centroids, idx.cent_norms,
+                     idx.pq, store.device)
+    q_raw = jnp.asarray(corpus[:8])
+    q_rot = idx._rotate(q_raw)
+    pen = jnp.zeros(store.n + 64, jnp.float32)
+    fn = sharded_ivfpq_search_fn(
+        mesh, nprobe=32, recall_num=64, k=5, metric="l2", rerank=True,
+        local_probe=32, v_per_shard=sh.v_per_shard)
+    d, doc, _ = jax.tree.map(np.asarray, fn(sh, q_rot, pen, q_raw))
+    assert list(doc[:, 0]) == list(range(8))
+    # exact rerank in the raw space → self-distance ~0 (bf16 rounding)
+    assert np.all(d[:, 0] < 1e-2), d[:, 0]
+
+
 def test_engine_sharded_realtime_tail(tmp_path, rng):
     """Docs ingested after the sharded snapshot stay searchable (served
     from the live index, merged by distance)."""
