@@ -55,8 +55,10 @@ class EngineConfig:
     log_dir: str = ""
     # host-side caches / limits
     max_doc_size: int = 10_000_000
-    # admission control: max concurrent device search batches
-    max_concurrent: int = 4
+    # admission control: max concurrent device search batches;
+    # <= 0 → derived from host CPU count at engine init (the reference
+    # derives its width from /proc limits, gamma_engine.cc:74-97)
+    max_concurrent: int = 0
 
     def to_json(self) -> str:
         return json.dumps(_asdict(self))

@@ -99,7 +99,13 @@ class GammaEngine:
         self._pending_dead: List[int] = []
 
         self._ingest_lock = threading.Lock()
-        self._search_sem = threading.Semaphore(config.max_concurrent)
+        # derived admission width when unset (reference:
+        # RequestConcurrentController::GetMaxThread, gamma_engine.cc:74-97)
+        mc = config.max_concurrent
+        if mc <= 0:
+            mc = max(4, min(32, (os.cpu_count() or 8) // 2))
+        self.max_concurrent = mc
+        self._search_sem = threading.Semaphore(mc)
         self._index_status = IndexStatus.UNINDEXED
         self._indexer_thread: Optional[threading.Thread] = None
         self._indexer_stop = threading.Event()
@@ -214,8 +220,11 @@ class GammaEngine:
             return 0
 
     def del_doc_by_query(self, request: Request) -> int:
-        """Delete every doc matching the request's range filters
-        (reference: GammaEngine::DelDocByQuery)."""
+        """Delete every doc matching the request's range AND term filters
+        (reference: GammaEngine::DelDocByQuery accepts the same filter
+        set as search)."""
+        if not request.range_filters and not request.term_filters:
+            return 0
         n = self.table.n
         mask = np.ones(n, dtype=bool)
         for rf in request.range_filters:
@@ -223,6 +232,9 @@ class GammaEngine:
             lo_ok = col >= rf.lower_value if rf.include_lower else col > rf.lower_value
             hi_ok = col <= rf.upper_value if rf.include_upper else col < rf.upper_value
             mask &= lo_ok & hi_ok
+        tmask = self.range_index.term_mask(request.term_filters, n)
+        if tmask is not None:
+            mask &= tmask
         deleted = 0
         for docid in np.flatnonzero(mask):
             key = self.table.key_by_docid(int(docid))
@@ -392,6 +404,8 @@ class GammaEngine:
             for b in range(len(merged)):
                 sr = SearchResult()
                 for dist, docid in merged[b]:
+                    if len(sr.result_items) >= request.topn:
+                        break
                     if docid < 0 or dist >= BIG:
                         continue
                     if self.bitmap.test(int(docid)):
@@ -401,7 +415,7 @@ class GammaEngine:
                     item = ResultItem(score=score, docid=int(docid),
                                       key=self.table.key_by_docid(int(docid)))
                     if request.fields:
-                        item.attributes = self.table.get_doc(
+                        item.attributes = self._pack_fields(
                             int(docid), request.fields)
                     sr.result_items.append(item)
                 sr.total = len(sr.result_items)
@@ -409,6 +423,21 @@ class GammaEngine:
             perf.perf("pack")
         resp.online_log_message = perf.output()
         return resp
+
+    def _pack_fields(self, docid: int, fields: List[str]) -> Dict:
+        """Requested result fields, table scalars AND vector values
+        (reference: Response::PackResultItem, gamma_response.cc:217-260 —
+        vector fields come from the VectorManager, the rest from Table)."""
+        table_fields = [f for f in fields if f not in self.vm.stores]
+        out = self.table.get_doc(docid, table_fields)
+        for name in fields:
+            store = self.vm.stores.get(name)
+            if store is None:
+                continue
+            vid = store.vid_mgr.doc2vid(docid)
+            if 0 <= vid < store.n:
+                out[name] = store.get(np.array([vid]))[0]
+        return out
 
     def _result_metric(self, sp: SearchParams) -> str:
         mt = sp.metric_type
@@ -426,6 +455,26 @@ class GammaEngine:
             return -float(dist)
         return float(np.sqrt(dist)) if l2_sqrt else float(dist)
 
+    def _dist_range(self, vq: VectorQuery, sp: SearchParams,
+                    l2_sqrt: bool) -> Optional[jnp.ndarray]:
+        """Map the request's score range into DISTANCE space for in-scan
+        fusion (reference: IsSimilarScoreValid is checked inside the
+        scanner, gamma_index_ivfpq.h:574-601)."""
+        if vq.min_score == -np.inf and vq.max_score == np.inf:
+            return None
+        metric = self._result_metric(sp)
+        if metric == "ip":
+            lo = -vq.max_score if vq.max_score < np.inf else -BIG
+            hi = -vq.min_score if vq.min_score > -np.inf else BIG
+        else:
+            lo = max(vq.min_score, 0.0) if vq.min_score > -np.inf else 0.0
+            hi = vq.max_score if vq.max_score < np.inf else BIG
+            if l2_sqrt:        # reported score = sqrt(dist)
+                lo, hi = lo * lo, min(hi, 1e19) * min(hi, 1e19)
+        lo = float(np.clip(lo, -BIG, BIG))
+        hi = float(np.clip(hi, -BIG, BIG))
+        return jnp.asarray([lo, hi], jnp.float32)
+
     def _search_one_field(self, vq: VectorQuery, request: Request,
                           sp: SearchParams, pen_doc: jnp.ndarray
                           ) -> Tuple[np.ndarray, np.ndarray]:
@@ -438,6 +487,13 @@ class GammaEngine:
         qd = jnp.asarray(qp)
         k = max(request.topn, 1)
         model = self.vm.index_for(vq.name)
+        dist_range = self._dist_range(vq, sp,
+                                      request.l2_sqrt or sp.l2_sqrt)
+        if dist_range is not None:
+            # widen the model's k so the post-filter + bitmap pass still
+            # leaves a full topn (the fused scans already mask in-range,
+            # but non-fusing models rely on this headroom)
+            k = max(k, min(max(sp.recall_num, 4 * k), 1024))
 
         if (self._sharded is not None
                 and self._sharded["field"] == vq.name
@@ -450,7 +506,8 @@ class GammaEngine:
             pen_rows = self._penalty_for_store(pen_doc, store)
             metric = ("ip" if self._result_metric(sp) == "ip" else "l2")
             dists, rows = flat_search(store.device, store.device_norms,
-                                      qd, pen_rows, k=k, metric=metric)
+                                      qd, pen_rows, dist_range,
+                                      k=k, metric=metric)
             docids = rows if not store.vid_mgr.multi else None
             dists_np = np.asarray(dists)[:b]
             rows_np = np.asarray(rows)[:b]
@@ -461,7 +518,8 @@ class GammaEngine:
             row_space = model.penalty_space == "row"
             pen = (self._penalty_for_store(pen_doc, store)
                    if row_space else pen_doc)
-            dists, docids, vids = model.search(qd, pen, sp, k)
+            dists, docids, vids = model.search(qd, pen, sp, k,
+                                               dist_range)
             dists_np = np.asarray(dists)[:b]
             docids_np = np.asarray(docids)[:b]
             if row_space and store.vid_mgr.multi:
@@ -470,10 +528,13 @@ class GammaEngine:
                     rows_np < 0, -1,
                     store.vid_mgr.vid2doc(np.maximum(rows_np, 0)))
 
-        # score-range post-filter (reference: IsSimilarScoreValid)
+        # score-range post-filter on the REPORTED score — authoritative
+        # even where the scan fused an approximate distance range
         if vq.min_score > -np.inf or vq.max_score < np.inf:
             metric = self._result_metric(sp)
             scores = (-dists_np if metric == "ip" else dists_np)
+            if metric != "ip" and (request.l2_sqrt or sp.l2_sqrt):
+                scores = np.sqrt(np.maximum(scores, 0.0))
             bad = (scores < vq.min_score) | (scores > vq.max_score)
             dists_np = np.where(bad, np.float32(BIG), dists_np)
             docids_np = np.where(bad, -1, docids_np)
@@ -484,7 +545,9 @@ class GammaEngine:
     def _merge_fields(self, per_field, request: Request):
         """Multi-vector-query docid merge (reference:
         vector_manager.cc:512-576): a doc must match every vector clause;
-        its score is the (boost-weighted) sum."""
+        its score is the (boost-weighted) sum.  Output order follows the
+        reference: docid order by default, score order when the request
+        sets multi_vector_rank (vector_manager.cc:562-576)."""
         nq = per_field[0][1].shape[0]
         out = []
         if len(per_field) == 1:
@@ -503,7 +566,10 @@ class GammaEngine:
                     counts[docid] = counts.get(docid, 0) + 1
             full = [(s, d) for d, s in acc.items()
                     if counts[d] == len(per_field)]
-            full.sort()
+            if request.multi_vector_rank:
+                full.sort()                      # by summed score
+            else:
+                full.sort(key=lambda t: t[1])    # by docid (reference)
             out.append(full[: request.topn])
         return out
 
@@ -720,9 +786,9 @@ class GammaEngine:
         doc_num = min(doc_num, min_vec) if self.vm.stores else doc_num
         self.table.load(chosen, doc_num)
         self.max_docid = self.table.n
-        # rebuild field range index by re-adding docs (reference :1251-1256)
-        for docid in range(self.table.n):
-            self.range_index.add_doc(docid, self.table.get_doc(docid))
+        # rebuild field range index in bulk (reference re-adds per doc,
+        # gamma_engine.cc:1251-1256; this is the vectorized equivalent)
+        self.range_index.rebuild(self.table)
         # deleted docs recounted from bitmap (reference :1258-1270)
         dead = np.flatnonzero(self.bitmap.as_bool_array(self.table.n))
         self.delete_num = int(dead.size)

@@ -119,7 +119,10 @@ class BinaryIVFIndex(RetrievalModel):
                 jnp.asarray(ps[live], jnp.int32))
             self.placer.mark_deleted(vids[live])
 
-    def search(self, queries, penalty, sp: SearchParams, k: int):
+    def search(self, queries, penalty, sp: SearchParams, k: int,
+               dist_range=None):
+        # Hamming distances live in a different score space; the score
+        # range stays a post-filter for binary codes (engine handles it).
         assert self._trained, "BINARYIVF requires training before search"
         qbits = jnp.asarray(pack_bits_np(np.asarray(queries)))
         nprobe = min(sp.nprobe or max(1, self.p.ncentroids // 16),

@@ -47,11 +47,12 @@ class FlatIndex(RetrievalModel):
     def delete(self, vids) -> None:
         pass   # deletes arrive via the penalty array
 
-    def search(self, queries, penalty_by_row, sp: SearchParams, k: int):
+    def search(self, queries, penalty_by_row, sp: SearchParams, k: int,
+               dist_range=None):
         metric = self.metric_name(sp, self.default_metric)
         dists, rows = flat_search(
             self.store.device, self.store.device_norms, queries,
-            penalty_by_row, k=k, metric=metric)
+            penalty_by_row, dist_range, k=k, metric=metric)
         return dists, rows, rows   # row index == vid for the raw store
 
     def dump(self, path: str) -> None:

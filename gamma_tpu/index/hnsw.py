@@ -296,13 +296,15 @@ class HNSWIndex(RetrievalModel):
     def delete(self, vids) -> None:
         pass   # deletes arrive via the penalty array (markDelete analog)
 
-    def search(self, queries, penalty_by_row, sp: SearchParams, k: int):
+    def search(self, queries, penalty_by_row, sp: SearchParams, k: int,
+               dist_range=None):
         metric = self.metric_name(sp, self.default_metric)
         flushed = self.store.flushed
         if self.n_nodes < max(4 * self.nlinks, 256):
             d, rows = flat_search(self.store.device,
                                   self.store.device_norms, queries,
-                                  penalty_by_row, k=k, metric=metric)
+                                  penalty_by_row, dist_range,
+                                  k=k, metric=metric)
             return d, rows, rows
         ef = max(int(sp.ef_search or self.ef_search_default), k)
         cap = min(self.links.shape[0], self.store.device.shape[0])
@@ -328,7 +330,8 @@ class HNSWIndex(RetrievalModel):
                                  BIG)
             td, tids = flat_search(self.store.device[:cap],
                                    self.store.device_norms[:cap],
-                                   queries, tail_pen, k=k, metric=metric)
+                                   queries, tail_pen, dist_range,
+                                   k=k, metric=metric)
             d, ids = merge_topk(d, ids, td, tids, k)
         return d, ids, ids
 

@@ -111,17 +111,19 @@ class IVFFlatIndex(RetrievalModel):
             np.asarray(self.state.docids), np.asarray(self.state.vids),
             np.asarray(self.state.lens))
 
-    def search(self, queries, penalty, sp: SearchParams, k: int):
+    def search(self, queries, penalty, sp: SearchParams, k: int,
+               dist_range=None):
         metric = self.metric_name(sp, self.p.metric_type)
         if not self._trained:
             d, rows = flat_search(self.store.device, self.store.device_norms,
-                                  queries, penalty, k=k, metric=metric)
+                                  queries, penalty, dist_range,
+                                  k=k, metric=metric)
             return d, rows, rows
         nprobe = min(sp.nprobe or max(1, self.p.ncentroids // 16),
                      self.p.ncentroids)
         return ivf_scan.ivfflat_search(
             self.state, self.centroids, self.cent_norms, queries, penalty,
-            nprobe=nprobe, k=k, d=self.d, metric=metric)
+            dist_range, nprobe=nprobe, k=k, d=self.d, metric=metric)
 
     def dump(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)

@@ -355,12 +355,14 @@ class IVFPQIndex(RetrievalModel):
                     else "gather")
         return mode
 
-    def search(self, queries, penalty, sp: SearchParams, k: int):
+    def search(self, queries, penalty, sp: SearchParams, k: int,
+               dist_range=None):
         metric = self.metric_name(sp, self.p.metric_type)
         if not self._trained:
             # brute-force fallback (reference: ivfpq.cc:529-537)
             d, rows = flat_search(self.store.device, self.store.device_norms,
-                                  queries, penalty, k=k, metric=metric)
+                                  queries, penalty, dist_range,
+                                  k=k, metric=metric)
             return d, rows, rows
         recall_num = max(sp.recall_num, k)
         q = self._rotate(queries)
@@ -368,6 +370,7 @@ class IVFPQIndex(RetrievalModel):
             d, vids = dense_scan_search(
                 self.recon, self.recon_norms, q,
                 self._dense_penalty(penalty), self.store.device, queries,
+                dist_range,
                 recall_num=recall_num, k=k, metric=metric,
                 rerank=sp.has_rank, recall_target=sp.recall_target)
             if self.store.vid_mgr.multi:
@@ -382,7 +385,7 @@ class IVFPQIndex(RetrievalModel):
                      else "xla")
         return ivf_scan.ivfpq_search(
             self.state, self.centroids, self.cent_norms, self.pq,
-            q, penalty, self.store.device, queries,
+            q, penalty, self.store.device, queries, dist_range,
             nprobe=nprobe, recall_num=recall_num, k=k, metric=metric,
             rerank=sp.has_rank, scan_impl=scan_impl)
 

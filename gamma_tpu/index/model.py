@@ -63,11 +63,17 @@ class RetrievalModel(abc.ABC):
 
     @abc.abstractmethod
     def search(self, queries: jnp.ndarray, penalty: jnp.ndarray,
-               sp: SearchParams, k: int
+               sp: SearchParams, k: int, dist_range=None
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """queries [B, d] (device), penalty [N_cap] (device) →
         (dists [B, k], docids [B, k], vids [B, k]) on device;
-        smaller-is-better, masked slots = (>=BIG, -1, -1)."""
+        smaller-is-better, masked slots = (>=BIG, -1, -1).
+
+        dist_range: optional [2] f32 device array (lo, hi) — the fused
+        score-range filter in DISTANCE space (reference:
+        IsSimilarScoreValid inside the scanner).  Models that cannot
+        fuse it may ignore it; the engine's post-filter stays
+        authoritative on the reported score."""
 
     # ---- maintenance / persistence ----
 

@@ -59,6 +59,7 @@ def dense_scan_search(recon: jnp.ndarray,        # [N_cap, d] bf16
                       penalty: jnp.ndarray,      # [N_cap] f32, vid-aligned
                       raw: jnp.ndarray,          # [V_cap, d] rerank source
                       queries_raw: jnp.ndarray,  # [B, d] unrotated (rerank)
+                      dist_range: jnp.ndarray = None,  # [2] f32 optional
                       *, recall_num: int, k: int, metric: str = "l2",
                       rerank: bool = True, recall_target: float = 0.95):
     """→ (dists [B, k] f32, vids [B, k] i32).  vid-order scan: `penalty`
@@ -66,7 +67,11 @@ def dense_scan_search(recon: jnp.ndarray,        # [N_cap, d] bf16
 
     With OPQ, `queries` is rotated to match `recon`'s space while
     `queries_raw`/`raw` stay unrotated — the rotation is orthogonal, so
-    exact distances agree between the two spaces."""
+    exact distances agree between the two spaces.
+
+    dist_range fuses the score-range filter into candidate selection AND
+    the exact rerank (reference: IsSimilarScoreValid in the scanner,
+    gamma_index_ivfpq.h:574-601) so top-k fills with in-range hits."""
     qf = queries.astype(jnp.float32)
     # match the mirror's dtype: with a float32 recon the query must stay
     # f32 too or candidate selection keeps bf16-level error anyway
@@ -75,10 +80,14 @@ def dense_scan_search(recon: jnp.ndarray,        # [N_cap, d] bf16
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     if metric == "ip":
-        dist = -cross + penalty[None, :]
+        raw_dist = -cross
     else:
         qn = jnp.sum(qf * qf, axis=-1, keepdims=True)
-        dist = qn - 2.0 * cross + recon_norms[None, :] + penalty[None, :]
+        raw_dist = qn - 2.0 * cross + recon_norms[None, :]
+    dist = raw_dist + penalty[None, :]
+    if dist_range is not None:
+        out = (raw_dist < dist_range[0]) | (raw_dist > dist_range[1])
+        dist = jnp.where(out, BIG, dist)
     dist = jnp.minimum(dist, BIG)
 
     r = max(recall_num, k)
@@ -94,6 +103,9 @@ def dense_scan_search(recon: jnp.ndarray,        # [N_cap, d] bf16
         diff = qr[:, None, :] - rows
         exact = jnp.sum(diff * diff, axis=-1)
     exact = jnp.where((rd >= BIG) | (rvid < 0), BIG, exact)
+    if dist_range is not None:
+        exact = jnp.where((exact < dist_range[0])
+                          | (exact > dist_range[1]), BIG, exact)
     nd, sel = jax.lax.top_k(-exact, k)
     ed = -nd
     evid = jnp.take_along_axis(rvid, sel, axis=1)

@@ -21,6 +21,7 @@ from gamma_tpu.ops.topk import topk_min, merge_topk
 @functools.partial(jax.jit, static_argnames=("k", "metric", "chunk"))
 def flat_search(vectors: jnp.ndarray, vec_norms: jnp.ndarray,
                 queries: jnp.ndarray, penalty: jnp.ndarray,
+                dist_range: jnp.ndarray = None,
                 *, k: int, metric: str = "l2", chunk: int = 131072):
     """Exact search.
 
@@ -29,6 +30,11 @@ def flat_search(vectors: jnp.ndarray, vec_norms: jnp.ndarray,
     vec_norms[N_cap]     precomputed ||x||^2 (f32; ignored for IP)
     queries  [B, d]
     penalty  [N_cap]     0 = valid, BIG = masked
+    dist_range [2] f32, optional — fused score-range filter: candidates
+             with raw distance outside [lo, hi] are masked IN the scan
+             (reference: IsSimilarScoreValid inside the scanner,
+             gamma_index_ivfpq.h:574-601), so the top-k fills with valid
+             hits instead of post-filtering below k.
     → (dists [B, k] f32, ids [B, k] i32); masked slots come back with
       dist >= BIG and id of whatever padding slot — callers drop them.
     """
@@ -50,6 +56,9 @@ def flat_search(vectors: jnp.ndarray, vec_norms: jnp.ndarray,
             d = -pairwise_ip(queries, v)
         else:
             d = pairwise_l2(queries, v, vn)
+        if dist_range is not None:
+            out = (d < dist_range[0]) | (d > dist_range[1])
+            d = jnp.where(out, BIG, d)
         ids = start + jnp.arange(chunk, dtype=jnp.int32)
         dup = ids < ci * chunk
         d = jnp.minimum(d + pen[None, :] + jnp.where(dup, BIG, 0.0)[None, :],

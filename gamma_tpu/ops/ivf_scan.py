@@ -75,7 +75,8 @@ def _select_candidates(dist, docids_g, vids_g, recall_num):
     return rd, jnp.where(dead, -1, rdoc), jnp.where(dead, -1, rvid)
 
 
-def _rerank(queries, rd, rdoc, rvid, raw_vectors, penalty, k, metric):
+def _rerank(queries, rd, rdoc, rvid, raw_vectors, penalty, k, metric,
+            dist_range=None):
     """Exact rerank of recall_num candidates with raw vectors
     (reference: compute_dis, gamma_index_ivfpq.cc:642-697)."""
     rows = jnp.take(raw_vectors, rvid, axis=0, mode="fill",
@@ -87,6 +88,9 @@ def _rerank(queries, rd, rdoc, rvid, raw_vectors, penalty, k, metric):
         diff = qf - rows
         exact = jnp.sum(diff * diff, axis=-1)
     exact = jnp.where(rd >= BIG, BIG, exact)
+    if dist_range is not None:
+        exact = jnp.where((exact < dist_range[0])
+                          | (exact > dist_range[1]), BIG, exact)
     ed, eidx = topk_min(exact, jnp.broadcast_to(
         jnp.arange(rd.shape[1], dtype=jnp.int32)[None, :], exact.shape), k)
     fdoc = jnp.take_along_axis(rdoc, eidx, axis=1)
@@ -107,6 +111,7 @@ def ivfpq_search(state: IVFState,
                  penalty: jnp.ndarray,        # [N_cap] f32
                  raw_vectors: jnp.ndarray,    # [V_cap, d] (bf16/f32)
                  queries_raw: Optional[jnp.ndarray] = None,
+                 dist_range: Optional[jnp.ndarray] = None,   # [2] f32
                  *, nprobe: int, recall_num: int, k: int,
                  metric: str = "l2", rerank: bool = True,
                  scan_impl: str = "xla"):
@@ -142,8 +147,15 @@ def ivfpq_search(state: IVFState,
     else:
         codes_g = jnp.take(state.codes, list_ids, axis=0)
         adc = pq_ops.adc_scan(lut, codes_g)               # [B, P, cap]
-    dist = adc + base + _candidate_mask_penalty(
+    raw_dist = adc + base
+    dist = raw_dist + _candidate_mask_penalty(
         docids_g, lens_g, state.cap, penalty)
+    if dist_range is not None:
+        # fused score-range (reference: IsSimilarScoreValid inside the
+        # scanner, gamma_index_ivfpq.h:574-601): the recall heap fills
+        # with in-range candidates only
+        dist = jnp.where((raw_dist < dist_range[0])
+                         | (raw_dist > dist_range[1]), BIG, dist)
     dist = jnp.minimum(dist, BIG)
 
     rd, rdoc, rvid = _select_candidates(dist, docids_g, vids_g, recall_num)
@@ -152,7 +164,8 @@ def ivfpq_search(state: IVFState,
     # rerank compares against UNROTATED raw rows — with OPQ the caller
     # must pass the unrotated queries or distances mix two spaces
     qr = queries if queries_raw is None else queries_raw
-    return _rerank(qr, rd, rdoc, rvid, raw_vectors, penalty, k, metric)
+    return _rerank(qr, rd, rdoc, rvid, raw_vectors, penalty, k, metric,
+                   dist_range)
 
 
 def topk_like(rd, rdoc, rvid, k):
@@ -169,8 +182,8 @@ def topk_like(rd, rdoc, rvid, k):
 @functools.partial(
     jax.jit, static_argnames=("nprobe", "k", "metric", "d"))
 def ivfflat_search(state: IVFState, centroids, cent_norms, queries,
-                   penalty, *, nprobe: int, k: int, d: int,
-                   metric: str = "l2"):
+                   penalty, dist_range=None, *, nprobe: int, k: int,
+                   d: int, metric: str = "l2"):
     """Exact-distance IVF scan: posting payload = bf16 vector bytes."""
     cd, list_ids = coarse_assign(queries, centroids, cent_norms,
                                  nprobe, metric)
@@ -181,12 +194,16 @@ def ivfflat_search(state: IVFState, centroids, cent_norms, queries,
     ).reshape(b, p, cap, d).astype(jnp.float32)
     qf = queries.astype(jnp.float32)
     if metric == "ip":
-        dist = -jnp.einsum("bd,bpcd->bpc", qf, vecs,
-                           preferred_element_type=jnp.float32)
+        raw_dist = -jnp.einsum("bd,bpcd->bpc", qf, vecs,
+                               preferred_element_type=jnp.float32)
     else:
         diff = qf[:, None, None, :] - vecs
-        dist = jnp.sum(diff * diff, axis=-1)
-    dist = dist + _candidate_mask_penalty(docids_g, lens_g, cap, penalty)
+        raw_dist = jnp.sum(diff * diff, axis=-1)
+    dist = raw_dist + _candidate_mask_penalty(docids_g, lens_g, cap,
+                                              penalty)
+    if dist_range is not None:
+        dist = jnp.where((raw_dist < dist_range[0])
+                         | (raw_dist > dist_range[1]), BIG, dist)
     dist = jnp.minimum(dist, BIG)
     return _select_candidates(dist, docids_g, vids_g, k)
 

@@ -71,6 +71,30 @@ class MultiFieldsRangeIndex:
         # keep stale docids harmlessly (they're masked by validity).
         pass
 
+    def rebuild(self, table: Table) -> None:
+        """Bulk-rebuild term postings from the table after a restore —
+        one pass over each string heap instead of a get_doc dict per doc
+        (reference re-adds docs one at a time, gamma_engine.cc:1251-1256;
+        this is the vectorized equivalent).  Numeric fields need nothing:
+        the column itself is the index."""
+        n = table.n
+        with self._lock:
+            for name in self.term_fields:
+                postings: Dict[str, List[int]] = {}
+                heap = table.heaps[name]
+                get = heap.get
+                for docid in range(n):
+                    v = get(docid)
+                    if not v:
+                        continue
+                    if "\x01" in v:
+                        for term in v.split("\x01"):
+                            if term:
+                                postings.setdefault(term, []).append(docid)
+                    else:
+                        postings.setdefault(v, []).append(docid)
+                self._postings[name] = postings
+
     def flush_device(self, pad_chunk: int = 4096) -> None:
         """Refresh device mirrors of numeric columns (engine calls this on
         its ingest flush; queries between flushes see the last mirror,
