@@ -59,6 +59,10 @@ class EngineConfig:
     # <= 0 → derived from host CPU count at engine init (the reference
     # derives its width from /proc limits, gamma_engine.cc:74-97)
     max_concurrent: int = 0
+    # incremental persistence over native mmap segments (reference:
+    # StorageManager + AsyncWriter); falls back to whole-corpus legacy
+    # dumps when libgamma_host.so is unavailable or this is False
+    native_persistence: bool = True
 
     def to_json(self) -> str:
         return json.dumps(_asdict(self))

@@ -82,6 +82,11 @@ class GammaEngine:
         self.table: Optional[Table] = None
         self.table_info: Optional[TableInfo] = None
         self.vm = VectorManager(config.path)
+        # incremental persistence over native segments when available
+        # (reference: StorageManager + AsyncWriter — dump == sync+marker)
+        from gamma_tpu import native as _native
+        self._native_persist = bool(config.native_persistence
+                                    and _native.available())
         self.range_index: Optional[MultiFieldsRangeIndex] = None
         self.bitmap = BitmapManager()
         # load=True: an existing bitmap file must survive restart —
@@ -119,7 +124,11 @@ class GammaEngine:
     def create_table(self, info: TableInfo) -> int:
         self.table_info = info
         self.table = Table(info.fields)
-        self.vm.create_vector_table(info)
+        persist_dir = None
+        if self._native_persist:
+            persist_dir = os.path.join(self.config.path, "store")
+            self.table.attach_native(persist_dir)
+        self.vm.create_vector_table(info, persist_dir=persist_dir)
         self.range_index = MultiFieldsRangeIndex(self.table)
         for f in info.fields:
             if f.is_index:
@@ -163,7 +172,9 @@ class GammaEngine:
     def _add_or_update_one(self, doc: Doc) -> int:
         table = self.table
         existing = table.docid_by_key(doc.key)
-        if existing >= 0 and not self.bitmap.test(existing):
+        # existing >= table.n guards against stale keymap entries (a
+        # crash can leave table.keys newer than the committed doc count)
+        if 0 <= existing < table.n and not self.bitmap.test(existing):
             return self._update_doc(existing, doc)
         # validate BEFORE any mutation: a mid-loop bail-out after
         # table.add/store.add would leave the stores' vid<->docid
@@ -199,7 +210,8 @@ class GammaEngine:
     def delete(self, key: Any) -> int:
         with self._ingest_lock:
             docid = self.table.delete_key(key)
-            if docid < 0 or self.bitmap.test(docid):
+            if (docid < 0 or docid >= self.table.n
+                    or self.bitmap.test(docid)):
                 return -1
             self.bitmap.set(docid)
             self.delete_num += 1
@@ -267,7 +279,10 @@ class GammaEngine:
                 self._pending_dead.clear()
             for store in self.vm.stores.values():
                 store.flush_device()
-            self.range_index.flush_device(pad_chunk=ROW_PAD)
+            dirty = self.table.take_dirty()
+            self.table.flush_storage(dirty)      # no-op without native
+            self.vm.flush_storage()
+            self.range_index.flush_device(pad_chunk=ROW_PAD, dirty=dirty)
         self.vm.add_rt_vecs_to_index()
         self.vm.compact_if_needed()
 
@@ -745,9 +760,16 @@ class GammaEngine:
     # ================= checkpoint (reference: Dump/Load) =================
 
     def dump(self) -> int:
-        """Write a dump dir + dump.done marker; remove the previous dump
-        (reference: gamma_engine.cc:1101-1146)."""
+        """Checkpoint.  Native mode (default): the table columns, string
+        heaps, and raw vectors are ALREADY on disk in mmap segments
+        (appended incrementally at every flush), so dump = durable sync
+        + index snapshot + atomic commit marker — O(delta), not
+        O(corpus) (reference: Dump == Table::Sync + AsyncWriter::Sync +
+        dump.done, gamma_engine.cc:1101-1146).  Legacy mode rewrites a
+        full dump dir."""
         self.flush()
+        if self._native_persist:
+            return self._dump_native()
         ts = time.strftime("%Y%m%d%H%M%S") + f"_{int(time.time()*1e6)%1000000:06d}"
         dump_dir = os.path.join(self.config.path, f"dump_{ts}")
         os.makedirs(dump_dir, exist_ok=True)
@@ -764,27 +786,83 @@ class GammaEngine:
                 shutil.rmtree(full, ignore_errors=True)
         return 0
 
-    def load(self) -> int:
-        """Restore from the newest complete dump; clean partials
-        (reference: gamma_engine.cc:1175-1285)."""
-        if self.table is None:
-            if self.create_table_from_local() is None:
-                return -1
+    def _dump_native(self) -> int:
+        # 1. durable barrier on the incrementally-persisted state
+        self.table.sync_storage()
+        self.vm.sync_storage()
+        # 2. index snapshot into a fresh dir (referenced by the commit,
+        #    so a crash mid-write can never corrupt the previous one)
+        ts = time.strftime("%Y%m%d%H%M%S") + f"_{int(time.time()*1e6)%1000000:06d}"
+        idx_dir = os.path.join(self.config.path, f"index_{ts}")
+        os.makedirs(idx_dir, exist_ok=True)
+        for m in self.vm.indexes.values():
+            m.dump(idx_dir)
+        # 3. key map + commit marker (the atomic commit point)
+        self.table.keymap.dump(os.path.join(self.config.path, "table.keys"))
+        commit = {
+            "doc_count": self.table.n,
+            "vec_counts": {name: store.n
+                           for name, store in self.vm.stores.items()},
+            "index_dir": os.path.basename(idx_dir),
+        }
+        atomic_write_json(os.path.join(self.config.path, "commit.json"),
+                          commit)
+        self.log.info("native dump commit: %d docs (index %s)",
+                      self.table.n, os.path.basename(idx_dir))
+        # 4. retire superseded index snapshots + legacy dump dirs
+        for fn in sorted(os.listdir(self.config.path)):
+            full = os.path.join(self.config.path, fn)
+            if not os.path.isdir(full):
+                continue
+            if fn.startswith("index_") and full != idx_dir:
+                shutil.rmtree(full, ignore_errors=True)
+            elif fn.startswith("dump_"):
+                shutil.rmtree(full, ignore_errors=True)
+        return 0
+
+    def _clean_partial_dumps(self) -> Optional[str]:
+        """Remove legacy dump dirs without a dump.done marker; return the
+        newest complete one (reference: gamma_engine.cc:1271-1276)."""
         dumps = sorted(fn for fn in os.listdir(self.config.path)
                        if fn.startswith("dump_"))
         chosen = None
         for fn in reversed(dumps):
             full = os.path.join(self.config.path, fn)
-            if os.path.exists(os.path.join(full, "dump.done")):
+            if chosen is None and os.path.exists(
+                    os.path.join(full, "dump.done")):
                 chosen = full
-                break
-            shutil.rmtree(full, ignore_errors=True)   # partial dump
-        if chosen is None:
-            return 0
-        min_vec = self.vm.load(chosen)
-        doc_num = read_json(os.path.join(chosen, "dump.done"))["end_docid"]
-        doc_num = min(doc_num, min_vec) if self.vm.stores else doc_num
-        self.table.load(chosen, doc_num)
+                continue
+            if not os.path.exists(os.path.join(full, "dump.done")):
+                shutil.rmtree(full, ignore_errors=True)   # partial dump
+        return chosen
+
+    def load(self) -> int:
+        """Restore: native commit marker when present, else the newest
+        complete legacy dump; clean partials either way
+        (reference: gamma_engine.cc:1175-1285)."""
+        if self.table is None:
+            if self.create_table_from_local() is None:
+                return -1
+        chosen = self._clean_partial_dumps()
+        commit_path = os.path.join(self.config.path, "commit.json")
+        if self._native_persist and os.path.exists(commit_path):
+            commit = read_json(commit_path)
+            idx_dir = os.path.join(self.config.path, commit["index_dir"])
+            min_vec = self.vm.load_persist(commit["vec_counts"], idx_dir)
+            doc_num = commit["doc_count"]
+            doc_num = min(doc_num, min_vec) if self.vm.stores else doc_num
+            self.table.load_native(doc_num)
+            kp = os.path.join(self.config.path, "table.keys")
+            if os.path.exists(kp):
+                self.table.keymap.load(kp)
+        else:
+            if chosen is None:
+                return 0
+            min_vec = self.vm.load(chosen)
+            doc_num = read_json(
+                os.path.join(chosen, "dump.done"))["end_docid"]
+            doc_num = min(doc_num, min_vec) if self.vm.stores else doc_num
+            self.table.load(chosen, doc_num)
         self.max_docid = self.table.n
         # rebuild field range index in bulk (reference re-adds per doc,
         # gamma_engine.cc:1251-1256; this is the vectorized equivalent)
@@ -830,4 +908,7 @@ class GammaEngine:
 
     def close(self) -> None:
         self.stop_background_indexer()
+        if self.table is not None:
+            self.table.close_storage()
+        self.vm.close_storage()
         self.bitmap.close()

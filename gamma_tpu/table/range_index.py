@@ -95,15 +95,19 @@ class MultiFieldsRangeIndex:
                         postings.setdefault(v, []).append(docid)
                 self._postings[name] = postings
 
-    def flush_device(self, pad_chunk: int = 4096) -> None:
+    def flush_device(self, pad_chunk: int = 4096,
+                     dirty: Optional[List[int]] = None) -> None:
         """Refresh device mirrors of numeric columns (engine calls this on
         its ingest flush; queries between flushes see the last mirror,
         same freshness model as the reference's async index worker).
         Incremental: only rows beyond the previous mirror plus rows dirtied
-        by updates travel over the host link."""
+        by updates travel over the host link.  `dirty` is the batch of
+        updated docids (the engine takes table.take_dirty() once and
+        shares it with the persistence flush)."""
         n = self.table.n
         rows = -(-max(n, 1) // pad_chunk) * pad_chunk
-        dirty = self.table.take_dirty()
+        if dirty is None:
+            dirty = self.table.take_dirty()
         if rows != self._device_rows or not self._device_cols:
             for name in self.numeric_fields:
                 col = np.zeros(rows, dtype=np.float32)

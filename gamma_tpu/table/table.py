@@ -117,6 +117,7 @@ class Table:
         self.keymap = _make_keymap()
         self.doc_keys: List[Any] = []
         self._dirty: List[int] = []   # docids updated in place
+        self.native_store = None      # see attach_native()
 
     def _grow(self, need: int) -> None:
         if need <= self.cap:
@@ -166,6 +167,35 @@ class Table:
         with self._lock:
             dirty, self._dirty = self._dirty, []
             return dirty
+
+    # ---- incremental native persistence (reference: StorageManager
+    # segments + AsyncWriter; storage/storage_manager.h:57-120) ----
+
+    def attach_native(self, directory: str) -> None:
+        from gamma_tpu.storage.native_backend import ColumnStore
+        self.native_store = ColumnStore(directory, list(self.fields.values()))
+
+    def flush_storage(self, dirty: Optional[List[int]] = None) -> int:
+        if self.native_store is None:
+            return 0
+        with self._lock:
+            return self.native_store.flush(self, dirty)
+
+    def sync_storage(self) -> None:
+        if self.native_store is not None:
+            self.native_store.sync()
+
+    def load_native(self, n: int) -> int:
+        """Restore rows from the native segments (truncating to n)."""
+        if self.native_store is None:
+            return 0
+        self.native_store.truncate(min(n, self.native_store.persisted()))
+        return self.native_store.load_into(self, n)
+
+    def close_storage(self) -> None:
+        if self.native_store is not None:
+            self.native_store.close()
+            self.native_store = None
 
     def docid_by_key(self, key: Any) -> int:
         return self.keymap.get(str(key))

@@ -114,6 +114,49 @@ class RawVectorStore:
         cap = init_cap
         self.device = jnp.zeros((cap, dimension), device_dtype)
         self.device_norms = jnp.zeros((cap,), jnp.float32)
+        self._persist = None          # see attach_persist()
+
+    # ---- incremental native persistence (reference: StorageManager +
+    # AsyncWriter; dump becomes sync + marker) ----
+
+    def attach_persist(self, directory: str) -> None:
+        from gamma_tpu.storage.native_backend import VectorPersist
+        self._persist = VectorPersist(directory, self.name, self.d)
+
+    def flush_storage(self) -> int:
+        """Append host rows not yet in the native segments (called at
+        flush; appends are memcpys into the mmap, synced by the native
+        writer thread)."""
+        if self._persist is None:
+            return 0
+        with self._lock:
+            start, end = len(self._persist), self.n
+            if end > start:
+                self._persist.append(self._host[start:end])
+            return max(0, end - start)
+
+    def sync_storage(self) -> None:
+        if self._persist is not None:
+            self._persist.sync()
+
+    def load_persist(self, limit: int) -> int:
+        """Restore rows from native segments (truncated to limit)."""
+        if self._persist is None:
+            return 0
+        n = min(limit, len(self._persist))
+        self._persist.truncate(n)
+        if n <= 0:
+            return 0
+        self.n = 0
+        self._flushed = 0
+        self.add(self._persist.read(0, n))
+        self.flush_device()
+        return n
+
+    def close_persist(self) -> None:
+        if self._persist is not None:
+            self._persist.close()
+            self._persist = None
 
     # ---- host tier ----
 
@@ -167,6 +210,11 @@ class RawVectorStore:
         vids = np.asarray(vids, dtype=np.int64)
         with self._lock:
             self._host[vids] = rows
+            if self._persist is not None:
+                persisted = len(self._persist)
+                for i, v in enumerate(vids):
+                    if v < persisted:   # newer rows append at next flush
+                        self._persist.update(int(v), rows[i])
             flushed_mask = vids < self._flushed
             if flushed_mask.any():
                 vv = vids[flushed_mask]

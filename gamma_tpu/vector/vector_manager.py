@@ -38,7 +38,8 @@ class VectorManager:
 
     # ---- creation (reference: CreateVectorTable, vector_manager.cc:34) ----
 
-    def create_vector_table(self, table: TableInfo) -> None:
+    def create_vector_table(self, table: TableInfo,
+                            persist_dir: Optional[str] = None) -> None:
         for vi in table.vectors:
             import jax.numpy as jnp
             dd = str(vi.store_param.get("device_dtype", "bfloat16"))
@@ -50,6 +51,8 @@ class VectorManager:
                 root_path=os.path.join(self.root_path, "vectors"),
                 compress_dumps=bool(vi.store_param.get("compress", False)),
             )
+            if persist_dir is not None:
+                store.attach_persist(persist_dir)
             self.stores[vi.name] = store
             if not vi.is_index:
                 continue
@@ -164,6 +167,30 @@ class VectorManager:
         for m in self.indexes.values():
             m.load(path)
         return min(counts) if counts else 0
+
+    # ---- incremental native persistence ----
+
+    def flush_storage(self) -> None:
+        for store in self.stores.values():
+            store.flush_storage()
+
+    def sync_storage(self) -> None:
+        for store in self.stores.values():
+            store.sync_storage()
+
+    def load_persist(self, limits: Dict[str, int], index_dir: str) -> int:
+        """Restore raw vectors from native segments + indexes from the
+        committed index dump.  Returns min vector count."""
+        counts = []
+        for name, store in self.stores.items():
+            counts.append(store.load_persist(limits.get(name, 0)))
+        for m in self.indexes.values():
+            m.load(index_dir)
+        return min(counts) if counts else 0
+
+    def close_storage(self) -> None:
+        for store in self.stores.values():
+            store.close_persist()
 
     def mem_bytes(self) -> Tuple[int, int]:
         v = sum(s.mem_bytes() for s in self.stores.values())

@@ -1,0 +1,173 @@
+"""Incremental native persistence: O(delta) checkpoints, commit-marker
+recovery, kill-between-flushes consistency.
+
+Reference contract: storage/storage_manager.h:57-120 (segments synced
+incrementally) + async_writer.cc:51-110; Dump == Sync + dump.done
+(gamma_engine.cc:1101-1146); Load truncates to the committed consistent
+prefix (gamma_engine.cc:1175-1285)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gamma_tpu import (Doc, EngineConfig, FieldInfo, GammaEngine,
+                       Request, TableInfo, VectorInfo, VectorQuery, native)
+from gamma_tpu.config import DataType
+
+pytestmark = pytest.mark.skipif(
+    not (native.available() or native.build()),
+    reason="libgamma_host.so unavailable")
+
+DIM = 16
+
+
+def make_engine(tmp_path, **cfg):
+    eng = GammaEngine(EngineConfig(path=str(tmp_path), **cfg))
+    eng.create_table(TableInfo(
+        name="np1",
+        fields=[FieldInfo("price", DataType.FLOAT, is_index=True),
+                FieldInfo("tag", DataType.STRING, is_index=True)],
+        vectors=[VectorInfo("vec", DIM)],
+        indexing_size=100_000,          # stay untrained; FLAT-ish search
+        retrieval_types=["FLAT"], retrieval_params=[{}]))
+    return eng
+
+
+def add_n(eng, x, lo, hi):
+    eng.add_or_update_docs([
+        Doc(key=f"k{i}", fields={"price": float(i), "tag": f"t{i % 3}"},
+            vectors={"vec": x[i]}) for i in range(lo, hi)])
+
+
+def test_dump_is_sync_plus_marker(tmp_path):
+    """Native dump writes no whole-corpus files: raw vectors/columns stay
+    in the live segments (same inode across dumps); only the index
+    snapshot + commit marker are rewritten."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2000, DIM)).astype(np.float32)
+    eng = make_engine(tmp_path)
+    add_n(eng, x, 0, 2000)
+    eng.flush()
+    eng.dump()
+    root = str(tmp_path)
+    seg = os.path.join(root, "store", "vec_vec.seg0")
+    assert os.path.exists(seg)
+    assert os.path.exists(os.path.join(root, "commit.json"))
+    assert not any(f.startswith("dump_") for f in os.listdir(root))
+    ino = os.stat(seg).st_ino
+    # delta dump: 10 more docs → same segment inode, no rewrite
+    add_n(eng, x, 0, 0)     # no-op
+    eng.add_or_update_docs([
+        Doc(key=f"extra{i}", fields={"price": 0.0, "tag": "t"},
+            vectors={"vec": x[i]}) for i in range(10)])
+    eng.flush()
+    eng.dump()
+    assert os.stat(seg).st_ino == ino
+    # no legacy whole-corpus artifacts anywhere
+    assert not any(f.endswith(".rawvec.npy") or f.endswith("table.pkl")
+                   for f in os.listdir(root))
+    eng.close()
+
+
+def test_commit_recovery_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(800, DIM)).astype(np.float32)
+    eng = make_engine(tmp_path)
+    add_n(eng, x, 0, 800)
+    eng.flush()
+    # updates must persist too
+    eng.add_or_update_doc(Doc(key="k5", fields={"price": 5555.0,
+                                                "tag": "zz"},
+                              vectors={"vec": x[7]}))
+    eng.delete("k9")
+    eng.dump()
+    eng.close()
+
+    eng2 = make_engine(tmp_path)
+    assert eng2.load() == 0
+    st = eng2.engine_status()
+    assert st.doc_count == 799          # 800 - 1 deleted key
+    assert st.delete_num == 1
+    d5 = eng2.get_doc_by_key("k5")
+    assert d5["price"] == 5555.0 and d5["tag"] == "zz"
+    np.testing.assert_allclose(np.asarray(d5["vec"]), x[7], atol=1e-6)
+    assert eng2.get_doc_by_key("k9") is None
+    r = eng2.search(Request(topn=3, vec_fields=[VectorQuery("vec", x[42])]))
+    assert r.results[0].result_items[0].docid == 42
+    eng2.close()
+
+
+def test_kill_between_flushes_truncates_to_commit(tmp_path):
+    """Rows flushed AFTER the last dump() are truncated away on restore
+    (load-truncate to the committed prefix, like the reference's
+    dump.done gating) — never a half-written mixture."""
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(900, DIM)).astype(np.float32)
+    eng = make_engine(tmp_path)
+    add_n(eng, x, 0, 500)
+    eng.flush()
+    eng.dump()                 # commit @500
+    add_n(eng, x, 500, 900)
+    eng.flush()                # persisted, NOT committed
+    # simulated kill: no dump(), no close() — reopen from disk state
+    eng2 = make_engine(tmp_path)
+    assert eng2.load() == 0
+    assert eng2.engine_status().doc_count == 500
+    assert eng2.get_doc_by_key("k499") is not None
+    assert eng2.get_doc_by_key("k700") is None
+    # the truncated tail can be re-ingested cleanly
+    add_n(eng2, x, 500, 900)
+    eng2.flush()
+    assert eng2.engine_status().doc_count == 900
+    r = eng2.search(Request(topn=1, vec_fields=[VectorQuery("vec",
+                                                            x[700])]))
+    it = r.results[0].result_items[0]
+    assert eng2.table.key_by_docid(it.docid) == "k700"
+    eng2.close()
+    eng.close()
+
+
+def test_legacy_mode_still_works(tmp_path):
+    """native_persistence=False keeps the whole-dump legacy path."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(300, DIM)).astype(np.float32)
+    eng = make_engine(tmp_path, native_persistence=False)
+    add_n(eng, x, 0, 300)
+    eng.flush()
+    eng.dump()
+    assert any(f.startswith("dump_") for f in os.listdir(str(tmp_path)))
+    assert not os.path.exists(os.path.join(str(tmp_path), "commit.json"))
+    eng.close()
+    eng2 = make_engine(tmp_path, native_persistence=False)
+    assert eng2.load() == 0
+    assert eng2.engine_status().doc_count == 300
+    eng2.close()
+
+
+def test_trained_index_snapshot_in_commit(tmp_path):
+    """A trained IVFPQ index restores from the committed index snapshot
+    with native persistence for vectors + table."""
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2000, DIM)).astype(np.float32)
+    eng = GammaEngine(EngineConfig(path=str(tmp_path)))
+    eng.create_table(TableInfo(
+        name="nivf", fields=[FieldInfo("p", DataType.FLOAT)],
+        vectors=[VectorInfo("vec", DIM)], indexing_size=1000,
+        retrieval_types=["IVFPQ"],
+        retrieval_params=[{"ncentroids": 16, "nsubvector": 4}]))
+    eng.add_or_update_docs([Doc(key=f"k{i}", fields={"p": 0.0},
+                                vectors={"vec": x[i]})
+                            for i in range(2000)])
+    eng.flush()
+    eng.dump()
+    eng.close()
+    eng2 = GammaEngine(EngineConfig(path=str(tmp_path)))
+    assert eng2.load() == 0
+    st = eng2.engine_status()
+    assert st.doc_count == 2000 and st.min_indexed_num >= 2000
+    assert st.index_status.name == "INDEXED"
+    r = eng2.search(Request(topn=3, vec_fields=[VectorQuery("vec", x[17])],
+                            retrieval_params={"recall_num": 50}))
+    assert r.results[0].result_items[0].docid == 17
+    eng2.close()
