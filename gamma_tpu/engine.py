@@ -105,12 +105,20 @@ class GammaEngine:
 
         self._ingest_lock = threading.Lock()
         # derived admission width when unset (reference:
-        # RequestConcurrentController::GetMaxThread, gamma_engine.cc:74-97)
+        # RequestConcurrentController::GetMaxThread, gamma_engine.cc:74-97).
+        # Wide by default: the batch aggregator serializes device work
+        # itself, and its coalesce width is capped by how many callers
+        # can be in flight.
         mc = config.max_concurrent
         if mc <= 0:
-            mc = max(4, min(32, (os.cpu_count() or 8) // 2))
+            mc = max(16, min(128, 2 * (os.cpu_count() or 8)))
         self.max_concurrent = mc
         self._search_sem = threading.Semaphore(mc)
+        # cross-request batch aggregation (reference: the GPU path's
+        # dedicated search thread, gpu.cc:52,557-640): concurrent callers
+        # coalesce into one device batch instead of serializing
+        from gamma_tpu.batcher import BatchAggregator
+        self._batcher: Optional[BatchAggregator] = BatchAggregator()
         self._index_status = IndexStatus.UNINDEXED
         self._indexer_thread: Optional[threading.Thread] = None
         self._indexer_stop = threading.Event()
@@ -490,40 +498,24 @@ class GammaEngine:
         hi = float(np.clip(hi, -BIG, BIG))
         return jnp.asarray([lo, hi], jnp.float32)
 
-    def _search_one_field(self, vq: VectorQuery, request: Request,
-                          sp: SearchParams, pen_doc: jnp.ndarray
-                          ) -> Tuple[np.ndarray, np.ndarray]:
-        store = self.vm.stores[vq.name]
-        q = np.asarray(vq.value, np.float32).reshape(-1, store.d)
+    def _exec_field_search(self, store, model, q: np.ndarray,
+                           sp: SearchParams, k: int, pen_doc: jnp.ndarray,
+                           dist_range, brute: bool
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """Direct device execution of one field search over q [b, d] —
+        row-independent, so the batch aggregator can stack several
+        requests' queries and slice the results back."""
         b = q.shape[0]
         b_pad = _next_pow2(b)
         qp = np.zeros((b_pad, store.d), np.float32)
         qp[:b] = q
         qd = jnp.asarray(qp)
-        k = max(request.topn, 1)
-        model = self.vm.index_for(vq.name)
-        dist_range = self._dist_range(vq, sp,
-                                      request.l2_sqrt or sp.l2_sqrt)
-        if dist_range is not None:
-            # widen the model's k so the post-filter + bitmap pass still
-            # leaves a full topn (the fused scans already mask in-range,
-            # but non-fusing models rely on this headroom)
-            k = max(k, min(max(sp.recall_num, 4 * k), 1024))
-
-        if (self._sharded is not None
-                and self._sharded["field"] == vq.name
-                and not request.brute_force_search and model is not None
-                and model.trained()):
-            dists_np, docids_np = self._sharded_search(
-                vq, sp, k, pen_doc, store)
-            dists_np, docids_np = dists_np[:b], docids_np[:b]
-        elif request.brute_force_search or model is None:
+        if brute or model is None:
             pen_rows = self._penalty_for_store(pen_doc, store)
             metric = ("ip" if self._result_metric(sp) == "ip" else "l2")
             dists, rows = flat_search(store.device, store.device_norms,
                                       qd, pen_rows, dist_range,
                                       k=k, metric=metric)
-            docids = rows if not store.vid_mgr.multi else None
             dists_np = np.asarray(dists)[:b]
             rows_np = np.asarray(rows)[:b]
             docids_np = (store.vid_mgr.vid2doc(
@@ -542,6 +534,52 @@ class GammaEngine:
                 docids_np = np.where(
                     rows_np < 0, -1,
                     store.vid_mgr.vid2doc(np.maximum(rows_np, 0)))
+        return dists_np, docids_np
+
+    @staticmethod
+    def _sp_key(sp: SearchParams) -> Tuple:
+        return (sp.metric_type, sp.nprobe, sp.recall_num, sp.has_rank,
+                sp.l2_sqrt, sp.scan_mode, sp.recall_target, sp.ef_search)
+
+    def _search_one_field(self, vq: VectorQuery, request: Request,
+                          sp: SearchParams, pen_doc: jnp.ndarray
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+        store = self.vm.stores[vq.name]
+        q = np.asarray(vq.value, np.float32).reshape(-1, store.d)
+        b = q.shape[0]
+        k = max(request.topn, 1)
+        model = self.vm.index_for(vq.name)
+        dist_range = self._dist_range(vq, sp,
+                                      request.l2_sqrt or sp.l2_sqrt)
+        if dist_range is not None:
+            # widen the model's k so the post-filter + bitmap pass still
+            # leaves a full topn (the fused scans already mask in-range,
+            # but non-fusing models rely on this headroom)
+            k = max(k, min(max(sp.recall_num, 4 * k), 1024))
+
+        if (self._sharded is not None
+                and self._sharded["field"] == vq.name
+                and not request.brute_force_search and model is not None
+                and model.trained()):
+            dists_np, docids_np = self._sharded_search(
+                vq, sp, k, pen_doc, store)
+            dists_np, docids_np = dists_np[:b], docids_np[:b]
+        else:
+            brute = request.brute_force_search or model is None
+            runner = (lambda qq: self._exec_field_search(
+                store, model, qq, sp, k, pen_doc, dist_range, brute))
+            if self._batcher is not None:
+                # coalesce with concurrent compatible requests: same
+                # field/params/penalty snapshot (id() is stable while
+                # entries hold references), same score range
+                dr_key = (None if dist_range is None
+                          else (float(dist_range[0]),
+                                float(dist_range[1])))
+                key = (vq.name, brute, k, id(pen_doc), dr_key,
+                       self._sp_key(sp))
+                dists_np, docids_np = self._batcher.submit(key, runner, q)
+            else:
+                dists_np, docids_np = runner(q)
 
         # score-range post-filter on the REPORTED score — authoritative
         # even where the scan fused an approximate distance range
@@ -908,6 +946,9 @@ class GammaEngine:
 
     def close(self) -> None:
         self.stop_background_indexer()
+        if self._batcher is not None:
+            self._batcher.stop()
+            self._batcher = None
         if self.table is not None:
             self.table.close_storage()
         self.vm.close_storage()
