@@ -201,8 +201,10 @@ class GammaEngine:
         return 0
 
     def _update_doc(self, docid: int, doc: Doc) -> int:
+        # re-index terms BEFORE the table write (needs the old values to
+        # drop the doc from its previous terms' postings)
+        self.range_index.update_doc(docid, doc.fields)
         self.table.update(docid, doc.fields)
-        self.range_index.add_doc(docid, doc.fields)
         for name, vecs in doc.vectors.items():
             store = self.vm.stores.get(name)
             if store is None:
@@ -348,25 +350,25 @@ class GammaEngine:
 
     def _compose_penalty(self, request: Request) -> jnp.ndarray:
         parts = [self._validity]
+
+        def fit(p: jnp.ndarray) -> jnp.ndarray:
+            if p.shape[0] == self._device_rows:
+                return p
+            # mirror lag; pad/truncate defensively
+            return jnp.pad(p[: self._device_rows],
+                           (0, max(0, self._device_rows - p.shape[0])),
+                           constant_values=BIG)
+
         if request.range_filters:
-            for p in self.range_index.range_penalties(request.range_filters):
-                if p.shape[0] == self._device_rows:
-                    parts.append(p)
-                else:   # mirror lag; pad/truncate defensively
-                    parts.append(jnp.pad(
-                        p[: self._device_rows],
-                        (0, max(0, self._device_rows - p.shape[0])),
-                        constant_values=BIG))
+            for p in self.range_index.range_penalties(
+                    request.range_filters):
+                parts.append(fit(p))
         if request.term_filters:
-            mask = self.range_index.term_mask(request.term_filters,
-                                              self.table.n)
-            m = np.zeros(self._device_rows, dtype=np.uint8)
-            if mask is not None:
-                # docs ingested since the last flush may exceed the device
-                # row count — they are masked by validity anyway
-                take = min(mask.size, self._device_rows)
-                m[:take] = mask[:take]
-            parts.append(pen_ops.mask_penalty(jnp.asarray(m)))
+            # device masks maintained at flush time — no O(N) host mask
+            # build or upload on the query path (reference: async
+            # field-index worker, field_range_index.cc:901-989)
+            for p in self.range_index.term_penalties(request.term_filters):
+                parts.append(fit(p))
         return pen_ops.combine(parts)
 
     def _penalty_for_store(self, pen_doc: jnp.ndarray, store) -> jnp.ndarray:

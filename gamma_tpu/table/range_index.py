@@ -32,6 +32,10 @@ from gamma_tpu.table.table import Table
 
 
 class MultiFieldsRangeIndex:
+    # cache at most this many device term masks per field (the hottest
+    # terms by posting size); the rest build sparsely at query time
+    TERM_CACHE_LIMIT = 64
+
     def __init__(self, table: Table):
         self.table = table
         self._lock = threading.Lock()
@@ -40,8 +44,16 @@ class MultiFieldsRangeIndex:
         # device mirrors of numeric columns, refreshed on flush
         self._device_cols: Dict[str, jnp.ndarray] = {}
         self._device_rows = 0
-        # term postings: field → term → list[docid]
-        self._postings: Dict[str, Dict[str, List[int]]] = {}
+        # term postings: field → term → set[docid]
+        self._postings: Dict[str, Dict[str, set]] = {}
+        # incrementally-maintained device masks for hot terms
+        # (reference maintains posting bitmaps at WRITE time off the
+        # query path, field_range_index.cc:901-989): (field, term) →
+        # uint8 [rows]; additions scatter deltas at flush, removals
+        # (updates) force a rebuild
+        self._term_cache: Dict[Tuple[str, str], jnp.ndarray] = {}
+        self._term_pending: Dict[Tuple[str, str], List[int]] = {}
+        self._term_rebuild: set = set()
 
     # ---- schema (reference: AddField, field_range_index.cc:1202-1217) ----
 
@@ -63,8 +75,32 @@ class MultiFieldsRangeIndex:
             if v is None:
                 continue
             for term in str(v).split("\x01"):
-                if term:
-                    self._postings[name].setdefault(term, []).append(docid)
+                if not term:
+                    continue
+                self._postings[name].setdefault(term, set()).add(docid)
+                key = (name, term)
+                if key in self._term_cache:
+                    self._term_pending.setdefault(key, []).append(docid)
+
+    def update_doc(self, docid: int, fields: Dict) -> None:
+        """Re-index term fields for an updated doc: the OLD term's
+        posting must drop the docid (reference: field-index Delete+Add on
+        update) or the doc keeps matching its previous term.  Must be
+        called BEFORE table.update (reads the old value)."""
+        for name in self.term_fields:
+            if name not in fields:
+                continue
+            old = self.table.heaps[name].get(docid)
+            for term in old.split("\x01"):
+                if not term:
+                    continue
+                post = self._postings[name].get(term)
+                if post is not None:
+                    post.discard(docid)
+                    key = (name, term)
+                    if key in self._term_cache:
+                        self._term_rebuild.add(key)
+        self.add_doc(docid, fields)
 
     def delete_doc(self, docid: int) -> None:
         # deletes are handled by the global validity penalty; postings may
@@ -79,8 +115,11 @@ class MultiFieldsRangeIndex:
         the column itself is the index."""
         n = table.n
         with self._lock:
+            self._term_cache.clear()
+            self._term_pending.clear()
+            self._term_rebuild.clear()
             for name in self.term_fields:
-                postings: Dict[str, List[int]] = {}
+                postings: Dict[str, set] = {}
                 heap = table.heaps[name]
                 get = heap.get
                 for docid in range(n):
@@ -90,9 +129,9 @@ class MultiFieldsRangeIndex:
                     if "\x01" in v:
                         for term in v.split("\x01"):
                             if term:
-                                postings.setdefault(term, []).append(docid)
+                                postings.setdefault(term, set()).add(docid)
                     else:
-                        postings.setdefault(v, []).append(docid)
+                        postings.setdefault(v, set()).add(docid)
                 self._postings[name] = postings
 
     def flush_device(self, pad_chunk: int = 4096,
@@ -139,6 +178,106 @@ class MultiFieldsRangeIndex:
                     vals = self.table.column(name)[didx].astype(np.float32)
                     self._device_cols[name] = self._device_cols[name].at[
                         jnp.asarray(didx)].set(jnp.asarray(vals))
+        self._refresh_term_masks()
+
+    # ---- device term masks (maintained off the query path) ----
+
+    @staticmethod
+    def _pad_ids(ids: np.ndarray) -> jnp.ndarray:
+        """Pad an index array to a pow2 quantum (bounded jit shapes);
+        padding becomes a large positive OOB index the scatter drops
+        (mode="drop" does NOT drop negatives — they wrap)."""
+        q = 1024
+        while q < ids.size:
+            q *= 2
+        out = np.full(q, 0x40000000, np.int64)
+        out[: ids.size] = ids
+        return jnp.asarray(out)
+
+    def _build_term_mask(self, field: str, term: str,
+                         rows: int) -> jnp.ndarray:
+        post = self._postings.get(field, {}).get(term, ())
+        ids = np.fromiter((d for d in post if d < rows), np.int64,
+                          count=-1)
+        mask = jnp.zeros((rows,), jnp.uint8)
+        if ids.size:
+            mask = mask.at[self._pad_ids(ids)].set(1, mode="drop")
+        return mask
+
+    def _refresh_term_masks(self) -> None:
+        """Keep device masks for the hottest terms current: scatter
+        pending additions; rebuild terms with removals; (re)admit the
+        largest postings up to TERM_CACHE_LIMIT per field.  Runs at
+        flush, off the query critical path (reference: async field-index
+        worker, field_range_index.cc:901-989)."""
+        rows = self._device_rows
+        if rows == 0:
+            return
+        threshold = max(1024, rows // 256)
+        wanted = set()
+        for field in self.term_fields:
+            post = self._postings.get(field, {})
+            hot = sorted(((len(s), t) for t, s in post.items()
+                          if len(s) >= threshold), reverse=True)
+            wanted.update((field, t)
+                          for _, t in hot[: self.TERM_CACHE_LIMIT])
+        for key in list(self._term_cache):
+            if key not in wanted:
+                del self._term_cache[key]
+                self._term_pending.pop(key, None)
+                self._term_rebuild.discard(key)
+        for key in wanted:
+            cached = self._term_cache.get(key)
+            if (cached is None or cached.shape[0] != rows
+                    or key in self._term_rebuild):
+                self._term_cache[key] = self._build_term_mask(
+                    key[0], key[1], rows)
+                self._term_pending.pop(key, None)
+                self._term_rebuild.discard(key)
+            elif self._term_pending.get(key):
+                ids = np.asarray(
+                    [d for d in self._term_pending.pop(key) if d < rows],
+                    np.int64)
+                if ids.size:
+                    self._term_cache[key] = self._term_cache[key].at[
+                        self._pad_ids(ids)].set(1, mode="drop")
+
+    def term_penalties(self, term_filters: Sequence[TermFilter]
+                       ) -> List[jnp.ndarray]:
+        """Per-filter device penalty arrays [rows] — hot terms read the
+        incrementally-maintained device mask (zero host work); cold terms
+        scatter their posting ids (O(postings) upload, not O(N)).
+        Freshness: docs added since the last flush are masked by the
+        validity penalty anyway, so mask staleness is invisible; an
+        updated doc's term change lands at the next flush (the
+        reference's async-worker window)."""
+        out = []
+        rows = self._device_rows
+        for tf in term_filters:
+            pens = []
+            for term in tf.terms():
+                cached = self._term_cache.get((tf.field, term))
+                if cached is not None and cached.shape[0] == rows:
+                    mask = cached
+                else:
+                    mask = self._build_term_mask(tf.field, term, rows)
+                pens.append(pen_ops.mask_penalty(mask))
+            if not pens:
+                out.append(jnp.full((max(rows, 1),), np.float32(3.0e38)))
+                continue
+            if tf.is_union == 0:            # AND across terms
+                pen = pens[0]
+                for p in pens[1:]:
+                    pen = jnp.minimum(pen + p, np.float32(3.0e38))
+            else:                           # OR across terms
+                pen = pens[0]
+                for p in pens[1:]:
+                    pen = jnp.minimum(pen, p)
+                if tf.is_union == 2:        # NOT: invert the OR
+                    pen = jnp.where(pen > 0, 0.0,
+                                    np.float32(3.0e38)).astype(jnp.float32)
+            out.append(pen)
+        return out
 
     # ---- query (reference: Search/Intersect :1015-1200) ----
 
@@ -161,7 +300,7 @@ class MultiFieldsRangeIndex:
                     mt = np.zeros(n, dtype=bool)
                     ids = postings.get(t)
                     if ids:
-                        arr = np.asarray(ids)
+                        arr = np.fromiter(ids, np.int64, count=len(ids))
                         mt[arr[arr < n]] = True
                     m &= mt
             else:
@@ -169,7 +308,7 @@ class MultiFieldsRangeIndex:
                 for t in terms:
                     ids = postings.get(t)
                     if ids:
-                        arr = np.asarray(ids)
+                        arr = np.fromiter(ids, np.int64, count=len(ids))
                         m[arr[arr < n]] = True
                 if tf.is_union == 2:
                     m = ~m

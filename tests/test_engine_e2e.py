@@ -437,3 +437,76 @@ def test_del_doc_by_query_term_filters(tmp_path):
     # no filters at all deletes nothing (not everything)
     assert eng.del_doc_by_query(Request()) == 0
     eng.close()
+
+
+def test_term_filter_update_reindexes(tmp_path):
+    """Updating a doc's term field must drop it from the OLD term's
+    postings (round-1 gap: stale postings kept matching)."""
+    rng = np.random.default_rng(47)
+    x = corpus(rng, n=300)
+    eng = make_engine(tmp_path, "FLAT")
+    add_docs(eng, x)
+    eng.flush()
+    # key_7 has tag t2 (7 % 5); move it to tag "moved"
+    eng.add_or_update_doc(Doc(key="key_7", fields={"tag": "moved"},
+                              vectors={"vec": x[7]}))
+    eng.flush()
+    old = eng.search(Request(topn=10, vec_fields=[VectorQuery("vec", x[7])],
+                             term_filters=[TermFilter("tag", "t2")]))
+    assert all(it.docid != 7 for it in old.results[0].result_items)
+    new = eng.search(Request(topn=10, vec_fields=[VectorQuery("vec", x[7])],
+                             term_filters=[TermFilter("tag", "moved")]))
+    assert [it.docid for it in new.results[0].result_items] == [7]
+    eng.close()
+
+
+def test_term_filter_device_mask_paths(tmp_path):
+    """Hot terms use the incrementally-maintained device mask; cold terms
+    the sparse scatter — both must agree with the host oracle, including
+    after post-cache ingests (pending-delta scatter)."""
+    rng = np.random.default_rng(53)
+    n = 6000
+    x = corpus(rng, n=n)
+    eng = make_engine(tmp_path, "FLAT")
+    docs = [Doc(key=f"key_{i}",
+                fields={"url": "", "cid1": 0, "cid2": 0,
+                        "price": float(i),
+                        # two hot tags (3000 docs each ≥ threshold) and
+                        # one cold tag on a few docs
+                        "tag": ("hot0" if i % 2 == 0 else "hot1")
+                               + ("\x01rare" if i % 997 == 0 else "")},
+                vectors={"vec": x[i]}) for i in range(n)]
+    eng.add_or_update_docs(docs)
+    eng.flush()
+    # hot path: the cache must exist for hot terms
+    assert ("tag", "hot0") in eng.range_index._term_cache
+    r = eng.search(Request(topn=20, vec_fields=[VectorQuery("vec", x[0])],
+                           term_filters=[TermFilter("tag", "hot0")],
+                           retrieval_params={"recall_num": 200}))
+    got = [it.docid for it in r.results[0].result_items]
+    assert got and all(d % 2 == 0 for d in got)
+    # cold path
+    r2 = eng.search(Request(topn=20, vec_fields=[VectorQuery("vec", x[0])],
+                            term_filters=[TermFilter("tag", "rare")],
+                            retrieval_params={"recall_num": 500}))
+    got2 = [it.docid for it in r2.results[0].result_items]
+    assert got2 and all(d % 997 == 0 for d in got2)
+    # NOT filter
+    r3 = eng.search(Request(topn=20, vec_fields=[VectorQuery("vec", x[1])],
+                            term_filters=[TermFilter("tag", "hot0",
+                                                     is_union=2)],
+                            retrieval_params={"recall_num": 200}))
+    got3 = [it.docid for it in r3.results[0].result_items]
+    assert got3 and all(d % 2 == 1 for d in got3)
+    # pending-delta: ingest more hot0 docs AFTER the cache exists
+    eng.add_or_update_docs([
+        Doc(key=f"new_{i}",
+            fields={"url": "", "cid1": 0, "cid2": 0, "price": 0.0,
+                    "tag": "hot0"},
+            vectors={"vec": x[0] + 0.001 * i}) for i in range(1, 4)])
+    eng.flush()
+    r4 = eng.search(Request(topn=5, vec_fields=[VectorQuery("vec", x[0])],
+                            term_filters=[TermFilter("tag", "hot0")]))
+    got4 = [it.docid for it in r4.results[0].result_items]
+    assert n in got4, f"newly ingested hot0 doc missing: {got4}"
+    eng.close()
