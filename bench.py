@@ -30,16 +30,25 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_corpus(n, d, n_clusters, rng, intrinsic=16):
+def make_corpus(n, d, n_clusters, rng, intrinsic=16, geom=None):
     """SIFT-geometry synthetic corpus: clustered points on a low-intrinsic-
     dimension manifold (real SIFT has intrinsic dim ~12-16) embedded in
     d dims with small ambient noise.  Pure isotropic blobs are a known
     pathological case for PQ (all cluster-mates equidistant within the
-    quantization error band) and do not reflect real retrieval data."""
-    basis = (rng.normal(size=(intrinsic, d)) / np.sqrt(intrinsic)
-             ).astype(np.float32)
-    centers = (rng.normal(size=(n_clusters, intrinsic)) * 4
-               ).astype(np.float32)
+    quantization error band) and do not reflect real retrieval data.
+
+    `geom=(basis, centers)` reuses an existing manifold — follow-up
+    batches must be MORE OF THE SAME DATA, not a fresh cluster draw
+    (fresh clusters concentrate onto single IVF lists and force
+    capacity regrowth that same-distribution ingest never sees)."""
+    if geom is None:
+        basis = (rng.normal(size=(intrinsic, d)) / np.sqrt(intrinsic)
+                 ).astype(np.float32)
+        centers = (rng.normal(size=(n_clusters, intrinsic)) * 4
+                   ).astype(np.float32)
+    else:
+        basis, centers = geom
+        n_clusters = centers.shape[0]
     out = np.empty((n, d), np.float32)
     chunk = 200_000
     for s in range(0, n, chunk):
@@ -54,7 +63,7 @@ def make_corpus(n, d, n_clusters, rng, intrinsic=16):
     # true neighbors — an artifact of generator index-locality, not of
     # retrieval quality.)
     rng.shuffle(out, axis=0)
-    return out
+    return out, (basis, centers)
 
 
 def main():
@@ -84,7 +93,7 @@ def main():
     log(f"devices={jax.devices()} n={n} d={d} nlist={nlist} m={m} "
         f"nprobe={nprobe}")
     rng = np.random.default_rng(0)
-    corpus = make_corpus(n, d, 1024, rng)
+    corpus, geom = make_corpus(n, d, 1024, rng)
     queries = corpus[rng.choice(n, nq, replace=False)] + \
         0.5 * rng.normal(size=(nq, d)).astype(np.float32)
     queries = queries.astype(np.float32)
@@ -204,27 +213,119 @@ def main():
             lambda: idx.search(qb, pen_f, sp, k), iters=20), 1)
     log(f"filtered QPS at 1/10/50% selectivity: {filtered_qps}")
 
+    # ---- gather mode (capacity path) + Pallas ADC kernel ----
+    # Driver-visible proof of the Pallas path: a non-interpret agreement
+    # check of adc_scan_pallas against the XLA formulation on the real
+    # chip, then recall + QPS for scan_mode="gather" at the same config.
+    from gamma_tpu.ops import ivf_scan as iv, pq as pq_ops
+    sp_g = SearchParams.from_dict({
+        "scan_mode": "gather", "recall_num": recall_num,
+        "has_rank": True, "nprobe": nprobe})
+
+    def run_gather(qb):
+        return idx.search(qb, penalty, sp_g, k)
+
+    pallas_rel_err = None
+    if jax.default_backend() == "tpu":
+        from gamma_tpu.ops.pallas_adc import adc_scan_pallas
+        qs = idx._rotate(qd[:8])
+        _, lids = iv.coarse_assign(qs, idx.centroids, idx.cent_norms,
+                                   8, "l2")
+        lut = pq_ops.l2_lut(
+            idx.pq, qs.astype(jnp.float32)[:, None, :]
+            - jnp.take(idx.centroids, lids, axis=0))
+        adc_p = adc_scan_pallas(idx.state.codes, lids, lut)
+        adc_x = pq_ops.adc_scan(lut, jnp.take(idx.state.codes, lids,
+                                              axis=0))
+        scale = max(float(jnp.max(jnp.abs(adc_x))), 1e-9)
+        pallas_rel_err = float(jnp.max(jnp.abs(adc_p - adc_x))) / scale
+        assert pallas_rel_err < 1e-3, \
+            f"pallas ADC mismatch: {pallas_rel_err}"
+        log(f"pallas vs XLA ADC max rel err: {pallas_rel_err:.2e}")
+
+    found_g = []
+    for s in range(0, nq, batch):
+        _, docs, _ = run_gather(qd[s: s + batch])
+        found_g.append(np.asarray(docs))
+    found_g = np.concatenate(found_g)
+    recall10_g = float(np.mean([
+        len(set(found_g[i].tolist()) & set(gt_ids[i].tolist())) / k
+        for i in range(nq)]))
+    gather_qps = measure_qps(lambda: run_gather(qb), iters=5, reps=2)
+    log(f"gather mode (nprobe={nprobe}): {gather_qps:,.0f} QPS, "
+        f"recall@10 = {recall10_g:.4f}")
+
     # ---- config 3: sustained ingest with concurrent search ----
+    # All shapes are warmed OUTSIDE the measured window (mirror growth and
+    # state-capacity growth each mean a fresh compile; production pre-sizes
+    # the same way via bucket_init_size + growth quanta), then ingest runs
+    # through the same warm add_chunk pipeline the steady path used while
+    # the search thread hammers the device.
     import threading
-    extra = make_corpus(131072, d, 1024, rng)
+    from gamma_tpu.realtime import invert_index as rt_mod
+    extra_n = 8 * add_chunk
+    extra, _ = make_corpus(extra_n, d, 1024, rng, geom=geom)
     store.add(extra)
     store.flush_device()
+    penalty = jnp.zeros(store.device.shape[0], jnp.float32)
+    idx._grow_recon(n + extra_n)           # one growth, outside the window
+    cur_max = int(np.asarray(idx.state.lens).max())
+    need = int(cur_max * (n + extra_n) / n * 1.3)
+    if need > idx.state.cap:
+        new_cap = idx.state.cap
+        while new_cap < need:
+            new_cap *= 2
+        idx.state = rt_mod.grow(idx.state, new_cap)
+        idx.placer.cap = new_cap
+    jax.block_until_ready(run(qb))         # re-warm scan at grown shapes
+    eids = np.arange(n, n + extra_n, dtype=np.int64)
+    # first chunk warms append/encode at the grown shapes
+    idx.add(store.device_rows(n, n + add_chunk),
+            eids[:add_chunk], eids[:add_chunk])
+    jax.block_until_ready(idx.state.lens)
     ingest_done = {}
+    start = threading.Barrier(2)
+
+    debug = os.environ.get("GAMMA_BENCH_DEBUG")
 
     def ingest():
+        start.wait()
         t0 = time.time()
-        eids = np.arange(n, n + 131072, dtype=np.int64)
-        idx.add(store.device_rows(n, n + 131072), eids, eids)
-        jax.block_until_ready(idx.state.lens)
-        ingest_done["rate"] = 131072 / (time.time() - t0)
+        for s in range(add_chunk, extra_n, add_chunk):
+            e = s + add_chunk
+            tc = time.time()
+            idx.add(store.device_rows(n + s, n + e), eids[s:e], eids[s:e])
+            # sync per chunk: un-synced appends pin a 100s-of-MB mirror
+            # generation each; letting them pile up behind the search
+            # queue churns HBM into multi-second allocator stalls
+            jax.block_until_ready(idx.state.lens)
+            if debug:
+                phases = " ".join(f"{k}={v:.3f}" for k, v in
+                                  getattr(idx, "last_add_timings",
+                                          {}).items())
+                log(f"  ingest chunk @{s}: {time.time()-tc:.3f}s {phases}")
+        ingest_done["rate"] = (extra_n - add_chunk) / (time.time() - t0)
 
-    # warm the 131072 encode shape so the concurrent window measures
-    # steady-state ingest, not a compile
-    idx.encode_batch(store.device_rows(0, 131072))
+    import gc
     th = threading.Thread(target=ingest)
     th.start()
-    qps_during = measure_qps(lambda: run(qb), iters=30, reps=1)
+    # search continuously for the WHOLE ingest window (not a fixed burst):
+    # both rates are measured under genuine contention.  gen-2 GC over the
+    # corpus+jax heap costs multiple seconds per collection at 1M docs —
+    # disable it for the window as a latency-critical server would.
+    gc.disable()
+    start.wait()
+    cnt, t0 = 0, time.time()
+    out = run(qb)
+    while th.is_alive():
+        out = run(qb)
+        cnt += 1
+        if cnt % 8 == 0:            # bound the dispatch queue depth
+            _ = np.asarray(jax.tree.leaves(out)[0][:1])
+    _ = np.asarray(jax.tree.leaves(out)[0][:1])
+    qps_during = (cnt + 1) * batch / (time.time() - t0)
     th.join()
+    gc.enable()
     log(f"concurrent: search {qps_during:,.0f} QPS while ingesting "
         f"{ingest_done['rate']:,.0f} inserts/s")
 
@@ -235,6 +336,9 @@ def main():
         "vs_baseline": round(qps / REF_QPS, 3),
         "recall_at_10": round(recall10, 4),
         "inserts_per_s": round(inserts_per_s, 0),
+        "gather_qps": round(gather_qps, 1),
+        "gather_recall_at_10": round(recall10_g, 4),
+        "pallas_max_rel_err": pallas_rel_err,
         "filtered_qps": filtered_qps,
         "concurrent_search_qps": round(qps_during, 1),
         "concurrent_inserts_per_s": round(ingest_done["rate"], 0),

@@ -73,6 +73,32 @@ def _valid_set(valid, vids, value):
     return valid.at[vids].set(value, mode="drop")
 
 
+@jax.jit
+def _ingest_commit(state, recon, recon_norms, recon_valid,
+                   idxs, codes, new_lens, rows, row_norms):
+    """ONE dispatch for the whole ingest commit: posting-list append +
+    reconstruction-mirror scatter + validity.  The add path is dominated
+    by per-dispatch host/tunnel latency under concurrent search, so the
+    fewer device round trips the better."""
+    list_ids, positions, vids, docids = (idxs[0], idxs[1], idxs[2],
+                                         idxs[3])
+    state = rt.append(state, list_ids, positions, codes, vids, docids,
+                      new_lens)
+    vids_s = jnp.where(vids < 0, 0x40000000, vids)
+    recon = recon.at[vids_s].set(rows, mode="drop")
+    recon_norms = recon_norms.at[vids_s].set(row_norms, mode="drop")
+    recon_valid = recon_valid.at[vids_s].set(0.0, mode="drop")
+    return state, recon, recon_norms, recon_valid
+
+
+@jax.jit
+def _ingest_commit_norecon(state, idxs, codes, new_lens):
+    list_ids, positions, vids, docids = (idxs[0], idxs[1], idxs[2],
+                                         idxs[3])
+    return rt.append(state, list_ids, positions, codes, vids, docids,
+                     new_lens)
+
+
 @functools.partial(jax.jit, static_argnames=("d", "has_rot", "recon_dtype"))
 def _encode_full(x, cents, cnorms, cb, cb_norms, rot, *, d, has_rot,
                  recon_dtype=jnp.bfloat16):
@@ -122,6 +148,8 @@ def _assign_chunked(x: jnp.ndarray, cents: jnp.ndarray,
 
 @register_model("IVFPQ")
 class IVFPQIndex(RetrievalModel):
+    _dump_suffix = "ivfpq"
+
     def __init__(self, raw_store: RawVectorStore,
                  params: Optional[Dict[str, Any]] = None):
         super().__init__(raw_store, params)
@@ -134,7 +162,7 @@ class IVFPQIndex(RetrievalModel):
         self.opq_rot: Optional[jnp.ndarray] = None         # [d, d] or None
         init_cap = max(64, self.p.bucket_init_size)
         self.state = rt.init_state(self.p.ncentroids, init_cap,
-                                   self.p.nsubvector)
+                                   self._code_width())
         self.placer = rt.HostPlacer(self.p.ncentroids, init_cap)
         # dense-mode reconstruction mirror, vid-indexed.  float32 recon
         # removes the bf16 rounding from candidate selection (bf16 adds a
@@ -143,9 +171,19 @@ class IVFPQIndex(RetrievalModel):
         # ~half the scan matmul rate.
         rd = str((params or {}).get("recon_dtype", "bfloat16"))
         self.recon_dtype = jnp.float32 if rd == "float32" else jnp.bfloat16
-        self.recon = jnp.zeros((RECON_ROW_PAD, self.d), self.recon_dtype)
-        self.recon_norms = jnp.zeros((RECON_ROW_PAD,), jnp.float32)
-        self.recon_valid = jnp.full((RECON_ROW_PAD,), BIG, jnp.float32)
+        # disk-tier stores (RocksDB analog) hold no dense mirror: codes
+        # stay the only HBM-resident per-vector state and the exact rerank
+        # reads candidates through from the host store
+        self.keep_recon = raw_store.tier != "disk"
+        rows0 = RECON_ROW_PAD if self.keep_recon else 8
+        self.recon = jnp.zeros((rows0, self.d), self.recon_dtype)
+        self.recon_norms = jnp.zeros((rows0,), jnp.float32)
+        self.recon_valid = jnp.full((rows0,), BIG, jnp.float32)
+
+    def _code_width(self) -> int:
+        """Posting-payload bytes per vector (FastScan overrides: packed
+        nibbles are nsubvector/2 bytes)."""
+        return self.p.nsubvector
 
     # ---- training ----
 
@@ -259,10 +297,15 @@ class IVFPQIndex(RetrievalModel):
     def add(self, x: np.ndarray, vids: np.ndarray,
             docids: np.ndarray) -> None:
         assert self._trained, "IVFPQ.add before train"
+        import time as _time
         n = x.shape[0]
         if n == 0:
             return
+        _t = {}
+        _t0 = _time.perf_counter()
         list_ids, codes, recon, rnorms = self.encode_batch(x)
+        _t["encode"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         need = self.placer.required_cap(list_ids)
         if need > self.state.cap:
             new_cap = self.state.cap
@@ -278,24 +321,35 @@ class IVFPQIndex(RetrievalModel):
                     new_cap, self.p.bucket_max_size)
             self.state = rt.grow(self.state, new_cap)
             self.placer.cap = new_cap
+        _t["grow_check"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         positions, new_lens = self.placer.place(list_ids, vids)
-        # pad host index arrays to the encode quantum; -1 rows are dropped
-        # by the scatter (mode="drop")
+        _t["place"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+        # pad host index arrays to the encode quantum and stack them into
+        # ONE upload; -1 rows are dropped by the scatters (mode="drop",
+        # after the wrap-guard remap inside the jit)
         n_pad = codes.shape[0]
-
-        def padded(a):
-            out = np.full(n_pad, -1, np.int32)
-            out[:n] = a
-            return jnp.asarray(out)
-
-        vids_d = padded(vids)
-        self.state = rt.append(
-            self.state, padded(list_ids), padded(positions), codes,
-            vids_d, padded(docids), jnp.asarray(new_lens, jnp.int32))
-        self._grow_recon(int(np.max(vids)) + 1)
-        self.recon, self.recon_norms = _recon_append(
-            self.recon, self.recon_norms, vids_d, recon, rnorms)
-        self.recon_valid = _valid_set(self.recon_valid, vids_d, 0.0)
+        idxs = np.full((4, n_pad), -1, np.int32)
+        idxs[0, :n] = list_ids
+        idxs[1, :n] = positions
+        idxs[2, :n] = vids
+        idxs[3, :n] = docids
+        idxs_d = jnp.asarray(idxs)
+        lens_d = jnp.asarray(new_lens, jnp.int32)
+        _t["upload"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+        if self.keep_recon:
+            self._grow_recon(int(np.max(vids)) + 1)
+            (self.state, self.recon, self.recon_norms,
+             self.recon_valid) = _ingest_commit(
+                self.state, self.recon, self.recon_norms,
+                self.recon_valid, idxs_d, codes, lens_d, recon, rnorms)
+        else:
+            self.state = _ingest_commit_norecon(self.state, idxs_d,
+                                                codes, lens_d)
+        _t["commit"] = _time.perf_counter() - _t0
+        self.last_add_timings = _t
         # watermark = highest vid pumped + 1; update re-adds of old vids
         # must not inflate it past fresh rows (pump skips them otherwise)
         self.indexed_count = max(self.indexed_count,
@@ -313,8 +367,10 @@ class IVFPQIndex(RetrievalModel):
                 jnp.asarray(ls[live], jnp.int32),
                 jnp.asarray(ps[live], jnp.int32))
             self.placer.mark_deleted(vids[live])
-            self.recon_valid = _valid_set(
-                self.recon_valid, jnp.asarray(vids[live], jnp.int32), BIG)
+            if self.keep_recon:
+                self.recon_valid = _valid_set(
+                    self.recon_valid, jnp.asarray(vids[live], jnp.int32),
+                    BIG)
 
     def compact(self, threshold: float = 0.3) -> None:
         """Reclaim tombstoned slots when ≥30% dead (reference policy:
@@ -346,6 +402,8 @@ class IVFPQIndex(RetrievalModel):
         return pen + self.recon_valid
 
     def scan_mode(self, sp: SearchParams) -> str:
+        if not self.keep_recon:
+            return "gather"        # disk tier: no dense mirror exists
         mode = sp.scan_mode or self.p.scan_mode
         if mode == "auto":
             mirror_bytes = (self.recon.size * self.recon.dtype.itemsize
@@ -355,15 +413,60 @@ class IVFPQIndex(RetrievalModel):
                     else "gather")
         return mode
 
+    def _brute_fallback(self, queries, penalty, k, metric, dist_range):
+        """Brute-force fallback (reference: ivfpq.cc:529-537); the disk
+        tier streams the host corpus (no device mirror)."""
+        if self.store.tier == "disk":
+            from gamma_tpu.ops.flat_scan import flat_search_streaming
+            d, rows = flat_search_streaming(
+                self.store.header(0, self.store.n), self.store.n,
+                queries, penalty, dist_range, k=k, metric=metric)
+        else:
+            # align the doc-space penalty to the mirror's row capacity
+            # (they grow on independent quanta)
+            cap = self.store.device.shape[0]
+            if penalty.shape[0] < cap:
+                penalty = jnp.pad(penalty, (0, cap - penalty.shape[0]),
+                                  constant_values=BIG)
+            elif penalty.shape[0] > cap:
+                penalty = penalty[:cap]
+            d, rows = flat_search(self.store.device,
+                                  self.store.device_norms,
+                                  queries, penalty, dist_range,
+                                  k=k, metric=metric)
+        return d, rows, rows
+
+    def _gather_exec(self, fn, q, queries, penalty, sp: SearchParams,
+                     k: int, recall_num: int, metric: str, dist_range,
+                     nprobe: int, scan_impl: str):
+        """Run a gather-mode scan fn; on the disk tier the exact rerank
+        happens OUTSIDE the jit against host-fetched candidate rows
+        (reference: rocksdb_raw_vector.cc GetVector in compute_dis)."""
+        if self.store.tier != "disk":
+            return fn(self.state, self.centroids, self.cent_norms, self.pq,
+                      q, penalty, self.store.device, queries, dist_range,
+                      nprobe=nprobe, recall_num=recall_num, k=k,
+                      metric=metric, rerank=sp.has_rank,
+                      scan_impl=scan_impl)
+        rn = max(recall_num, k)
+        rd, rdoc, rvid = fn(
+            self.state, self.centroids, self.cent_norms, self.pq,
+            q, penalty, self.store.device, queries, dist_range,
+            nprobe=nprobe, recall_num=rn, k=rn, metric=metric,
+            rerank=False, scan_impl=scan_impl)
+        if not sp.has_rank:
+            return rd[:, :k], rdoc[:, :k], rvid[:, :k]
+        rows = self.store.get_padded(np.asarray(rvid))      # [B, R, d]
+        return ivf_scan.rerank_rows(queries, rd, rdoc, rvid,
+                                    jnp.asarray(rows), dist_range,
+                                    k=k, metric=metric)
+
     def search(self, queries, penalty, sp: SearchParams, k: int,
                dist_range=None):
         metric = self.metric_name(sp, self.p.metric_type)
         if not self._trained:
-            # brute-force fallback (reference: ivfpq.cc:529-537)
-            d, rows = flat_search(self.store.device, self.store.device_norms,
-                                  queries, penalty, dist_range,
-                                  k=k, metric=metric)
-            return d, rows, rows
+            return self._brute_fallback(queries, penalty, k, metric,
+                                        dist_range)
         recall_num = max(sp.recall_num, k)
         q = self._rotate(queries)
         if self.scan_mode(sp) == "dense":
@@ -383,17 +486,15 @@ class IVFPQIndex(RetrievalModel):
         nprobe = min(sp.nprobe or self.p.nprobe, self.p.ncentroids)
         scan_impl = ("pallas" if jax.default_backend() == "tpu"
                      else "xla")
-        return ivf_scan.ivfpq_search(
-            self.state, self.centroids, self.cent_norms, self.pq,
-            q, penalty, self.store.device, queries, dist_range,
-            nprobe=nprobe, recall_num=recall_num, k=k, metric=metric,
-            rerank=sp.has_rank, scan_impl=scan_impl)
+        return self._gather_exec(ivf_scan.ivfpq_search, q, queries,
+                                 penalty, sp, k, recall_num, metric,
+                                 dist_range, nprobe, scan_impl)
 
     # ---- persistence (reference: gamma_index_io.cc "ilar" format) ----
 
     def dump(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        f = os.path.join(path, f"{self.store.name}.ivfpq.npz")
+        f = os.path.join(path, f"{self.store.name}.{self._dump_suffix}.npz")
         if not self._trained:
             np.savez(f, trained=np.array(0))
             return
@@ -412,7 +513,7 @@ class IVFPQIndex(RetrievalModel):
         )
 
     def load(self, path: str) -> int:
-        f = os.path.join(path, f"{self.store.name}.ivfpq.npz")
+        f = os.path.join(path, f"{self.store.name}.{self._dump_suffix}.npz")
         if not os.path.exists(f):
             return 0
         z = np.load(f)
@@ -439,6 +540,8 @@ class IVFPQIndex(RetrievalModel):
         """Regenerate the dense-scan reconstruction mirror from the codes
         (the reference likewise rebuilds precomputed tables on load rather
         than storing them, gamma_index_ivfpq.cc:1032-1034)."""
+        if not self.keep_recon:
+            return
         vids_np = np.asarray(self.state.vids)
         codes_np = np.asarray(self.state.codes)
         nlist, cap = vids_np.shape

@@ -30,6 +30,10 @@ class RetrievalModel(abc.ABC):
                  params: Optional[Dict[str, Any]] = None):
         self.store = raw_store
         self.params = params or {}
+        # the vector field this model indexes (the store name by default;
+        # VectorManager re-stamps it — never parse it out of a dict key,
+        # model names may contain underscores)
+        self.field = raw_store.name
         self.indexed_count = 0     # vids pumped into the index so far
         # serializes mutations (add/update/delete/compact): the indexer
         # pump runs off the engine's ingest lock, so a client delete and

@@ -81,6 +81,17 @@ def _rerank(queries, rd, rdoc, rvid, raw_vectors, penalty, k, metric,
     (reference: compute_dis, gamma_index_ivfpq.cc:642-697)."""
     rows = jnp.take(raw_vectors, rvid, axis=0, mode="fill",
                     fill_value=0).astype(jnp.float32)        # [B, R, d]
+    return rerank_rows(queries, rd, rdoc, rvid, rows, k=k, metric=metric,
+                       dist_range=dist_range)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def rerank_rows(queries, rd, rdoc, rvid, rows, dist_range=None,
+                *, k: int, metric: str = "l2"):
+    """Exact rerank against PRE-GATHERED candidate rows [B, R, d] — the
+    disk-tier path uploads candidates fetched from the host store
+    (reference: rocksdb_raw_vector.cc GetVector during compute_dis)."""
+    rows = rows.astype(jnp.float32)
     qf = queries.astype(jnp.float32)[:, None, :]
     if metric == "ip":
         exact = -jnp.sum(qf * rows, axis=-1)
@@ -119,8 +130,9 @@ def ivfpq_search(state: IVFState,
     Masked/empty slots return dist >= BIG and ids = -1.
 
     scan_impl="pallas" runs the ADC accumulation in the Pallas kernel
-    (ops/pallas_adc.py) — 20-30x faster than XLA's gather lowering on
-    TPU; "xla" is the portable path (and fine on CPU)."""
+    (ops/pallas_adc.py) — measured ~8x faster than XLA's gather lowering
+    on v5e at the SIFT1M geometry; "xla" is the portable path (and fine
+    on CPU)."""
     cd, list_ids = coarse_assign(queries, centroids, cent_norms,
                                  nprobe, metric)
     vids_g = jnp.take(state.vids, list_ids, axis=0)       # [B, P, cap]
@@ -172,6 +184,59 @@ def topk_like(rd, rdoc, rvid, k):
     if k == rd.shape[1]:
         return rd, rdoc, rvid
     return rd[:, :k], rdoc[:, :k], rvid[:, :k]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nprobe", "recall_num", "k", "metric", "rerank",
+                     "scan_impl"))
+def ivfpqfs_search(state: IVFState,           # codes packed [nlist,cap,M/2]
+                   centroids: jnp.ndarray,
+                   cent_norms: jnp.ndarray,
+                   codebooks: pq_ops.PQCodebooks,   # ksub = 16
+                   queries: jnp.ndarray,      # [B, d] (pre-rotated if OPQ)
+                   penalty: jnp.ndarray,
+                   raw_vectors: jnp.ndarray,
+                   queries_raw: Optional[jnp.ndarray] = None,
+                   dist_range: Optional[jnp.ndarray] = None,
+                   *, nprobe: int, recall_num: int, k: int,
+                   metric: str = "l2", rerank: bool = True,
+                   scan_impl: str = "xla"):
+    """FastScan search: 4-bit PQ over the RAW rotated vector
+    (by_residual=false, reference gamma_index_ivfpqfs.cc:146), so the ADC
+    LUT is per QUERY, not per (query, probe).  Same fused mask / score
+    range / recall heap / exact-rerank contract as ivfpq_search."""
+    cd, list_ids = coarse_assign(queries, centroids, cent_norms,
+                                 nprobe, metric)
+    vids_g = jnp.take(state.vids, list_ids, axis=0)       # [B, P, cap]
+    docids_g = jnp.take(state.docids, list_ids, axis=0)
+    lens_g = jnp.take(state.lens, list_ids, axis=0)
+
+    if metric == "ip":
+        lut = -pq_ops.ip_lut(codebooks, queries)          # [B, M, 16]
+    else:
+        lut = pq_ops.l2_lut(codebooks, queries)           # [B, M, 16]
+
+    if scan_impl == "pallas":
+        from gamma_tpu.ops.pallas_adc import adc_scan_pallas_fs
+        raw_dist = adc_scan_pallas_fs(state.codes, list_ids, lut)
+    else:
+        from gamma_tpu.ops.pallas_adc import unpack_nibbles
+        codes_g = unpack_nibbles(jnp.take(state.codes, list_ids, axis=0))
+        raw_dist = pq_ops.adc_scan(lut[:, None], codes_g)  # [B, P, cap]
+    dist = raw_dist + _candidate_mask_penalty(
+        docids_g, lens_g, state.cap, penalty)
+    if dist_range is not None:
+        dist = jnp.where((raw_dist < dist_range[0])
+                         | (raw_dist > dist_range[1]), BIG, dist)
+    dist = jnp.minimum(dist, BIG)
+
+    rd, rdoc, rvid = _select_candidates(dist, docids_g, vids_g, recall_num)
+    if not rerank:
+        return topk_like(rd, rdoc, rvid, k)
+    qr = queries if queries_raw is None else queries_raw
+    return _rerank(qr, rd, rdoc, rvid, raw_vectors, penalty, k, metric,
+                   dist_range)
 
 
 # ---------------------------------------------------------------------
