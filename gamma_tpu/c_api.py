@@ -144,6 +144,8 @@ def SetConfig(handle: int, config_bytes: bytes) -> int:
     if cfg.max_concurrent != eng.config.max_concurrent:
         eng.config.max_concurrent = cfg.max_concurrent
         eng.set_max_concurrent(cfg.max_concurrent)
+    if cfg.vector_cache_mb != eng.config.vector_cache_mb:
+        eng.set_vector_cache_mb(cfg.vector_cache_mb)
     return 0
 
 

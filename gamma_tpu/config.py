@@ -63,6 +63,9 @@ class EngineConfig:
     # StorageManager + AsyncWriter); falls back to whole-corpus legacy
     # dumps when libgamma_host.so is unavailable or this is False
     native_persistence: bool = True
+    # disk-tier row-block LRU capacity, runtime-alterable via SetConfig
+    # (reference: AlterCacheSize, gamma_engine.cc:1366-1382)
+    vector_cache_mb: int = 64
 
     def to_json(self) -> str:
         return json.dumps(_asdict(self))
@@ -95,7 +98,7 @@ class VectorInfo:
 
     name: str
     dimension: int
-    store_type: str = "MemoryOnly"   # MemoryOnly | Mmap  (RocksDB N/A on TPU)
+    store_type: str = "MemoryOnly"   # MemoryOnly | Mmap | Disk (="RocksDB")
     store_param: Dict[str, Any] = dataclasses.field(default_factory=dict)
     data_type: DataType = DataType.FLOAT
     is_index: bool = True

@@ -137,6 +137,8 @@ class GammaEngine:
             persist_dir = os.path.join(self.config.path, "store")
             self.table.attach_native(persist_dir)
         self.vm.create_vector_table(info, persist_dir=persist_dir)
+        for store in self.vm.stores.values():
+            store.set_cache_bytes(self.config.vector_cache_mb << 20)
         self.range_index = MultiFieldsRangeIndex(self.table)
         for f in info.fields:
             if f.is_index:
@@ -310,7 +312,7 @@ class GammaEngine:
             for key, model in self.vm.indexes.items():
                 if model.trained():
                     continue
-                field = key.rsplit("_", 1)[0]
+                field = model.field
                 store = self.vm.stores[field]
                 n_train = min(store.n, self.table_info.indexing_size
                               or store.n)
@@ -513,11 +515,20 @@ class GammaEngine:
         qp[:b] = q
         qd = jnp.asarray(qp)
         if brute or model is None:
-            pen_rows = self._penalty_for_store(pen_doc, store)
             metric = ("ip" if self._result_metric(sp) == "ip" else "l2")
-            dists, rows = flat_search(store.device, store.device_norms,
-                                      qd, pen_rows, dist_range,
-                                      k=k, metric=metric)
+            if store.tier == "disk":
+                # no device mirror: stream the host corpus through the
+                # chip (reference: rocksdb_raw_vector.cc read-through)
+                from gamma_tpu.ops.flat_scan import flat_search_streaming
+                dists, rows = flat_search_streaming(
+                    store.header(0, store.n), store.n, qd, pen_doc,
+                    dist_range, k=k, metric=metric)
+            else:
+                pen_rows = self._penalty_for_store(pen_doc, store)
+                dists, rows = flat_search(store.device,
+                                          store.device_norms,
+                                          qd, pen_rows, dist_range,
+                                          k=k, metric=metric)
             dists_np = np.asarray(dists)[:b]
             rows_np = np.asarray(rows)[:b]
             docids_np = (store.vid_mgr.vid2doc(
@@ -780,6 +791,14 @@ class GammaEngine:
         semantics).  In-flight searches finish under the old semaphore;
         new searches use the new one."""
         self._search_sem = threading.Semaphore(max(1, int(n)))
+
+    def set_vector_cache_mb(self, mb: int) -> None:
+        """Resize the disk-tier row-block LRU caches at runtime
+        (reference: VectorManager::AlterCacheSize via SetConfig,
+        gamma_engine.cc:1366-1382)."""
+        self.config.vector_cache_mb = int(mb)
+        for store in self.vm.stores.values():
+            store.set_cache_bytes(int(mb) << 20)
 
     def engine_status(self) -> EngineStatus:
         vmem, imem = self.vm.mem_bytes()

@@ -13,6 +13,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gamma_tpu.ops.distances import pairwise_l2, pairwise_ip, BIG
 from gamma_tpu.ops.topk import topk_min, merge_topk
@@ -71,3 +72,48 @@ def flat_search(vectors: jnp.ndarray, vec_norms: jnp.ndarray,
     if nchunks == 1:
         return scan_chunk(0, init)
     return jax.lax.fori_loop(0, nchunks, scan_chunk, init)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _stream_chunk(rows, rnorms, pen, start, best_d, best_i, queries,
+                  dist_range=None, *, k: int, metric: str):
+    if metric == "ip":
+        d = -pairwise_ip(queries, rows)
+    else:
+        d = pairwise_l2(queries, rows, rnorms)
+    if dist_range is not None:
+        d = jnp.where((d < dist_range[0]) | (d > dist_range[1]), BIG, d)
+    d = jnp.minimum(d + pen[None, :], BIG)
+    ids = start + jnp.arange(rows.shape[0], dtype=jnp.int32)
+    cd, cidx = topk_min(d, jnp.broadcast_to(ids[None, :], d.shape), k)
+    return merge_topk(best_d, best_i, cd, cidx, k)
+
+
+def flat_search_streaming(host, n, queries, pen_doc, dist_range=None,
+                          *, k: int, metric: str = "l2",
+                          chunk: int = 65536):
+    """Exact scan over a HOST-resident corpus (disk tier: no device
+    mirror, reference vector/rocksdb_raw_vector.cc): stream fixed-shape
+    chunks through the device and merge a running top-k.  `host` is any
+    row-sliceable float32 array-like (np.memmap included)."""
+    b = queries.shape[0]
+    best_d = jnp.full((b, k), BIG, jnp.float32)
+    best_i = jnp.full((b, k), jnp.int32(-1))
+    if n <= 0:
+        return best_d, best_i
+    chunk = min(chunk, max(1024, n))
+    pen_np = np.asarray(pen_doc)
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        rows_np = np.zeros((chunk, host.shape[1]), np.float32)
+        rows_np[: e - s] = host[s:e]
+        pen_c = np.full((chunk,), BIG, np.float32)
+        m = pen_np[s: min(e, pen_np.size)]
+        pen_c[: m.size] = m
+        best_d, best_i = _stream_chunk(
+            jnp.asarray(rows_np),
+            jnp.asarray(np.sum(rows_np.astype(np.float64) ** 2,
+                               axis=1).astype(np.float32)),
+            jnp.asarray(pen_c), jnp.int32(s), best_d, best_i, queries,
+            dist_range, k=k, metric=metric)
+    return best_d, best_i

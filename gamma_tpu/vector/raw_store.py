@@ -98,6 +98,8 @@ class RawVectorStore:
                  compress_dumps: bool = False):
         self.name = name
         self.d = dimension
+        if store_type == "RocksDB":     # reference cold tier → disk tier
+            store_type = "Disk"
         self.store_type = store_type
         self.root_path = root_path
         self.device_dtype = device_dtype
@@ -111,10 +113,22 @@ class RawVectorStore:
 
         self._host_cap = init_cap
         self._host = self._alloc_host(init_cap)
-        cap = init_cap
+        # disk tier (reference: vector/rocksdb_raw_vector.cc — vectors
+        # live beyond RAM, read through on demand): NO device mirror; the
+        # memmap + OS page cache is the master, scans run over PQ codes in
+        # HBM and the exact rerank uploads just the gathered candidates.
+        cap = 8 if self.tier == "disk" else init_cap
         self.device = jnp.zeros((cap, dimension), device_dtype)
         self.device_norms = jnp.zeros((cap,), jnp.float32)
         self._persist = None          # see attach_persist()
+        # disk tier: row-block LRU in front of the memmap (reference:
+        # storage/lru_cache.h:332; resizable at runtime via SetConfig)
+        self._row_cache = None
+        if self.tier == "disk":
+            from gamma_tpu.utils.lru import BlockLRU
+            self._row_cache = BlockLRU(
+                lambda s, e: self._host[s:e], row_bytes=4 * dimension,
+                capacity_bytes=64 << 20)
 
     # ---- incremental native persistence (reference: StorageManager +
     # AsyncWriter; dump becomes sync + marker) ----
@@ -160,8 +174,14 @@ class RawVectorStore:
 
     # ---- host tier ----
 
+    @property
+    def tier(self) -> str:
+        """"ram" (MemoryOnly/Mmap: full device mirror) or "disk"
+        (RocksDB-analog: no device mirror, rerank reads through)."""
+        return "disk" if self.store_type == "Disk" else "ram"
+
     def _alloc_host(self, cap: int) -> np.ndarray:
-        if self.store_type == "Mmap" and self.root_path:
+        if self.store_type in ("Mmap", "Disk") and self.root_path:
             os.makedirs(self.root_path, exist_ok=True)
             path = os.path.join(self.root_path, f"{self.name}.vec")
             return np.lib.format.open_memmap(
@@ -172,7 +192,7 @@ class RawVectorStore:
         new_cap = self._host_cap
         while new_cap < need:
             new_cap *= 2
-        if self.store_type == "Mmap" and self.root_path:
+        if self.store_type in ("Mmap", "Disk") and self.root_path:
             # open_memmap(mode="w+") truncates the inode the live memmap
             # still backs — grow via a sibling file, then replace
             path = os.path.join(self.root_path, f"{self.name}.vec")
@@ -210,6 +230,8 @@ class RawVectorStore:
         vids = np.asarray(vids, dtype=np.int64)
         with self._lock:
             self._host[vids] = rows
+            if self._row_cache is not None:
+                self._row_cache.invalidate(vids // self._row_cache.block_rows)
             if self._persist is not None:
                 persisted = len(self._persist)
                 for i, v in enumerate(vids):
@@ -228,6 +250,35 @@ class RawVectorStore:
     def get(self, vids: np.ndarray) -> np.ndarray:
         return self._host[np.asarray(vids, dtype=np.int64)].copy()
 
+    def get_padded(self, vids: np.ndarray) -> np.ndarray:
+        """Gather rows by vid with negative/out-of-range ids clamped to a
+        valid row (callers mask those slots by distance) — the disk-tier
+        rerank fetch (reference: rocksdb_raw_vector.cc GetVector), read
+        through the row-block LRU when one is attached."""
+        v = np.asarray(vids, dtype=np.int64)
+        v = np.clip(v, 0, max(self.n - 1, 0))
+        cache = self._row_cache
+        if cache is None:
+            return self._host[v]
+        flat = v.reshape(-1)
+        out = np.empty((flat.size, self.d), np.float32)
+        bs = cache.block_rows
+        blocks = flat // bs
+        for b in np.unique(blocks):
+            m = blocks == b
+            if (int(b) + 1) * bs <= self.n:      # full block: cacheable
+                out[m] = cache.get(int(b))[flat[m] - int(b) * bs]
+            else:                                # growing tail: direct
+                out[m] = self._host[flat[m]]
+        return out.reshape(v.shape + (self.d,))
+
+    def set_cache_bytes(self, capacity_bytes: int) -> None:
+        if self._row_cache is not None:
+            self._row_cache.set_capacity(capacity_bytes)
+
+    def cache_mem_bytes(self) -> int:
+        return self._row_cache.mem_bytes() if self._row_cache else 0
+
     def header(self, start: int, end: int) -> np.ndarray:
         """Zero-copy span of the host tier (GetVectorHeader analog)."""
         return self._host[start:end]
@@ -237,6 +288,8 @@ class RawVectorStore:
     def flush_device(self, pad_chunk: int = 1024) -> int:
         """Mirror any host rows not yet on device.  Padded to pad_chunk to
         bound the number of distinct jit shapes.  Returns rows flushed."""
+        if self.tier == "disk":
+            return 0                  # no mirror: rerank reads through
         with self._lock:
             start, end = self._flushed, self.n
             if end <= start:
@@ -276,7 +329,8 @@ class RawVectorStore:
                                             end - start, axis=0)
 
     def mem_bytes(self) -> int:
-        host = 0 if self.store_type == "Mmap" else self._host.nbytes
+        host = (0 if self.store_type in ("Mmap", "Disk")
+                else self._host.nbytes)
         dev = self.device.size * self.device.dtype.itemsize
         return int(host + dev + self.device_norms.nbytes)
 

@@ -57,17 +57,27 @@ class VectorManager:
             if not vi.is_index:
                 continue
             for i, rt_name in enumerate(table.retrieval_types):
+                if (store.tier == "disk" and rt_name.upper() not in
+                        ("IVFPQ", "IVFPQ_FASTSCAN", "VEARCH", "SCANN")):
+                    raise ValueError(
+                        f"store_type=RocksDB/Disk supports the IVFPQ "
+                        f"family only (codes in HBM + read-through "
+                        f"rerank); got {rt_name}")
                 params = (table.retrieval_params[i]
                           if i < len(table.retrieval_params) else {})
                 model = create_model(rt_name, store, params)
+                # field recorded ON the model: parsing it back out of the
+                # dict key is ambiguous for model names with underscores
+                # (IVFPQ_FASTSCAN)
+                model.field = vi.name
                 self.indexes[f"{vi.name}_{rt_name.upper()}"] = model
 
     def index_for(self, field: str, model_name: Optional[str] = None
                   ) -> Optional[RetrievalModel]:
         if model_name:
             return self.indexes.get(f"{field}_{model_name.upper()}")
-        for key, m in self.indexes.items():
-            if key.startswith(field + "_"):
+        for m in self.indexes.values():
+            if m.field == field:
                 return m
         return None
 
@@ -94,11 +104,10 @@ class VectorManager:
         RT_BATCH chunks; then drain the update queue.  Returns vectors
         pumped."""
         moved = 0
-        for key, model in self.indexes.items():
+        for model in self.indexes.values():
             if not model.trained():
                 continue
-            field = key.rsplit("_", 1)[0]
-            store = self.stores[field]
+            store = self.stores[model.field]
             while model.indexed_count < store.n:
                 start = model.indexed_count
                 end = min(start + RT_BATCH, store.n)
@@ -124,8 +133,8 @@ class VectorManager:
                 vids = np.array([p[0] for p in pairs], dtype=np.int64)
                 docids = np.array([p[1] for p in pairs], dtype=np.int64)
                 rows = self.stores[field].get(vids)
-                for key, model in self.indexes.items():
-                    if key.rsplit("_", 1)[0] == field and model.trained():
+                for model in self.indexes.values():
+                    if model.field == field and model.trained():
                         # only re-add vids already indexed
                         sel = vids < model.indexed_count
                         if sel.any():
@@ -140,8 +149,8 @@ class VectorManager:
 
     def delete(self, field_vids: Dict[str, np.ndarray]) -> None:
         for field, vids in field_vids.items():
-            for key, model in self.indexes.items():
-                if key.rsplit("_", 1)[0] == field:
+            for model in self.indexes.values():
+                if model.field == field:
                     with model.mutate_lock:
                         model.delete(vids)
 
