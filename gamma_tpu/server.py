@@ -172,11 +172,15 @@ class GammaClient:
             self._sock.connect(address)
         else:
             self._sock = socket.create_connection(tuple(address))
+        # one in-flight call per connection (the router's fan-out pool
+        # may hit the same client from several threads)
+        self._lock = threading.Lock()
 
     def _call(self, op: int, payload: bytes = b"") -> Tuple[int, bytes]:
-        self._sock.sendall(_HDR.pack(op, len(payload)) + payload)
-        status, plen = _RSP.unpack(_recv_exact(self._sock, _RSP.size))
-        out = _recv_exact(self._sock, plen) if plen else b""
+        with self._lock:
+            self._sock.sendall(_HDR.pack(op, len(payload)) + payload)
+            status, plen = _RSP.unpack(_recv_exact(self._sock, _RSP.size))
+            out = _recv_exact(self._sock, plen) if plen else b""
         return status, out
 
     def _call_payload(self, op: int, payload: bytes = b"") -> bytes:
