@@ -255,6 +255,43 @@ def main():
     log(f"gather mode (nprobe={nprobe}): {gather_qps:,.0f} QPS, "
         f"recall@10 = {recall10_g:.4f}")
 
+    # ---- IVFPQ_FASTSCAN (4-bit packed, ksub=16 kernel) at the same
+    # config: the fast capacity-mode operating point ----
+    fs_qps = fs_recall = None
+    if os.environ.get("GAMMA_BENCH_FASTSCAN", "1") == "1":
+        from gamma_tpu.index.ivfpq_fastscan import IVFPQFastScanIndex
+        fs = IVFPQFastScanIndex(store, {
+            "ncentroids": nlist, "nsubvector": 2 * m, "nprobe": nprobe,
+            "bucket_init_size": max(1024, 4 * n // nlist)})
+        t0 = time.time()
+        fs.train(corpus[: nlist * 64])
+        log(f"fastscan train: {time.time()-t0:.1f}s")
+        t0 = time.time()
+        for s in range(0, n, add_chunk):
+            e = min(n, s + add_chunk)
+            fs.add(store.device_rows(s, e), ids[s:e], ids[s:e])
+        jax.block_until_ready(fs.state.lens)
+        log(f"fastscan add: {time.time()-t0:.1f}s")
+        sp_fs = SearchParams.from_dict({
+            "scan_mode": "gather", "recall_num": recall_num,
+            "has_rank": True, "nprobe": nprobe})
+
+        def run_fs(qb):
+            return fs.search(qb, penalty, sp_fs, k)
+
+        found_fs = []
+        for s in range(0, nq, batch):
+            _, docs, _ = run_fs(qd[s: s + batch])
+            found_fs.append(np.asarray(docs))
+        found_fs = np.concatenate(found_fs)
+        fs_recall = float(np.mean([
+            len(set(found_fs[i].tolist()) & set(gt_ids[i].tolist())) / k
+            for i in range(nq)]))
+        fs_qps = measure_qps(lambda: run_fs(qb), iters=10, reps=2)
+        log(f"fastscan gather (nprobe={nprobe}): {fs_qps:,.0f} QPS, "
+            f"recall@10 = {fs_recall:.4f}")
+        del fs
+
     # ---- config 3: sustained ingest with concurrent search ----
     # All shapes are warmed OUTSIDE the measured window (mirror growth and
     # state-capacity growth each mean a fresh compile; production pre-sizes
@@ -338,6 +375,9 @@ def main():
         "inserts_per_s": round(inserts_per_s, 0),
         "gather_qps": round(gather_qps, 1),
         "gather_recall_at_10": round(recall10_g, 4),
+        "fastscan_qps": None if fs_qps is None else round(fs_qps, 1),
+        "fastscan_recall_at_10": (None if fs_recall is None
+                                  else round(fs_recall, 4)),
         "pallas_max_rel_err": pallas_rel_err,
         "filtered_qps": filtered_qps,
         "concurrent_search_qps": round(qps_during, 1),

@@ -161,6 +161,30 @@ class IndexIVFPQ(Index):
                          nbits_per_idx=nbits, **params)
 
 
+class IndexIVFPQFastScan(Index):
+    """faiss IndexIVFPQFastScan analog: 4-bit packed codes, ksub=16 scan
+    (gamma_tpu/index/ivfpq_fastscan.py)."""
+
+    model_name = "IVFPQ_FASTSCAN"
+
+    def __init__(self, d: int, nlist: int = 2048, m: int = 64,
+                 metric: str = "l2", **params):
+        super().__init__(d, metric, ncentroids=nlist, nsubvector=m,
+                         **params)
+
+
+class IndexScaNN(Index):
+    """ScaNN analog (the reference's VEARCH type): anisotropic vector
+    quantization, inner-product by default."""
+
+    model_name = "SCANN"
+
+    def __init__(self, d: int, nlist: int = 2048, m: int = 64,
+                 metric: str = "ip", **params):
+        super().__init__(d, metric, ncentroids=nlist, nsubvector=m,
+                         **params)
+
+
 class IndexIVFFlat(Index):
     model_name = "IVFFLAT"
 
