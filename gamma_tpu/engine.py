@@ -97,8 +97,11 @@ class GammaEngine:
         self.delete_num = self.bitmap.set_count
         self.max_docid = 0
 
-        # device validity (penalty form): grown/updated at flush
+        # device validity (penalty form): grown/updated at flush.  The
+        # version stamps batcher coalescing keys: two requests may share
+        # a device batch iff they saw the same validity snapshot
         self._validity = pen_ops.init_validity(ROW_PAD)
+        self._validity_version = 0
         self._device_rows = ROW_PAD
         self._live_flushed = 0                # docids < this are marked live
         self._pending_dead: List[int] = []
@@ -231,6 +234,7 @@ class GammaEngine:
             if docid < self._live_flushed:
                 self._validity = pen_ops.mark_deleted(
                     self._validity, jnp.asarray([docid], jnp.int32))
+                self._validity_version += 1
             else:
                 self._pending_dead.append(docid)
             field_vids = {}
@@ -283,8 +287,10 @@ class GammaEngine:
             if n > self._live_flushed:
                 new = jnp.arange(self._live_flushed, n, dtype=jnp.int32)
                 self._validity = pen_ops.mark_live(self._validity, new)
+                self._validity_version += 1
                 self._live_flushed = n
             if self._pending_dead:
+                self._validity_version += 1
                 self._validity = pen_ops.mark_deleted(
                     self._validity,
                     jnp.asarray(self._pending_dead, jnp.int32))
@@ -583,13 +589,21 @@ class GammaEngine:
                 store, model, qq, sp, k, pen_doc, dist_range, brute))
             if self._batcher is not None:
                 # coalesce with concurrent compatible requests: same
-                # field/params/penalty snapshot (id() is stable while
-                # entries hold references), same score range
+                # field/params/filters over the same validity snapshot,
+                # same score range.  (A fresh penalty OBJECT is composed
+                # per request, so identity is the wrong key — it made
+                # coalescing never fire.)
                 dr_key = (None if dist_range is None
                           else (float(dist_range[0]),
                                 float(dist_range[1])))
-                key = (vq.name, brute, k, id(pen_doc), dr_key,
-                       self._sp_key(sp))
+                filt_key = (
+                    tuple((rf.field, rf.lower_value, rf.upper_value,
+                           rf.include_lower, rf.include_upper)
+                          for rf in request.range_filters),
+                    tuple((tf.field, tuple(tf.terms()), tf.is_union)
+                          for tf in request.term_filters))
+                key = (vq.name, brute, k, self._validity_version,
+                       filt_key, dr_key, self._sp_key(sp))
                 dists_np, docids_np = self._batcher.submit(key, runner, q)
             else:
                 dists_np, docids_np = runner(q)
@@ -931,6 +945,7 @@ class GammaEngine:
         self.delete_num = int(dead.size)
         self._live_flushed = 0
         self._validity = pen_ops.init_validity(ROW_PAD)
+        self._validity_version += 1
         self._device_rows = ROW_PAD
         self._pending_dead = dead.tolist()
         self.flush()

@@ -35,7 +35,12 @@ def make_engine(tmp_path, model, store_type="MemoryOnly", metric="L2"):
         vectors=[VectorInfo("vec", DIM, store_type=store_type)],
         indexing_size=1000,
         retrieval_types=[model],
-        retrieval_params=[{"ncentroids": 32, "nsubvector": 8,
+        # 4-bit FastScan needs finer subspaces for the same quality (the
+        # reference defaults it to d/2 subquantizers, ivfpqfs.h)
+        retrieval_params=[{"ncentroids": 32,
+                           "nsubvector": (DIM // 2
+                                          if model == "IVFPQ_FASTSCAN"
+                                          else 8),
                            "nprobe": 12, "metric_type": metric}],
     )
     eng.create_table(info)
@@ -63,8 +68,13 @@ def add_docs(eng, x):
 
 
 @pytest.mark.parametrize("model,store_type", [
+    # the reference's lifecycle matrix (tests/test_files.cc:46-388):
+    # model x store, full cycle twice (fresh + reload)
     ("IVFPQ", "MemoryOnly"),
     ("IVFPQ", "Mmap"),
+    ("IVFPQ", "RocksDB"),
+    ("IVFPQ_FASTSCAN", "MemoryOnly"),
+    ("SCANN", "MemoryOnly"),
     ("FLAT", "MemoryOnly"),
     ("IVFFLAT", "MemoryOnly"),
     ("BINARYIVF", "MemoryOnly"),
