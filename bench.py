@@ -223,7 +223,9 @@ def main():
         "has_rank": True, "nprobe": nprobe})
 
     def run_gather(qb):
-        return idx.search(qb, penalty, sp_g, k)
+        # validity_n = what the engine passes for unfiltered requests:
+        # the in-scan mask needs no doc-space penalty gather
+        return idx.search(qb, penalty, sp_g, k, validity_n=n)
 
     pallas_rel_err = None
     if jax.default_backend() == "tpu":
@@ -277,7 +279,7 @@ def main():
             "has_rank": True, "nprobe": nprobe})
 
         def run_fs(qb):
-            return fs.search(qb, penalty, sp_fs, k)
+            return fs.search(qb, penalty, sp_fs, k, validity_n=n)
 
         found_fs = []
         for s in range(0, nq, batch):

@@ -510,7 +510,7 @@ class GammaEngine:
 
     def _exec_field_search(self, store, model, q: np.ndarray,
                            sp: SearchParams, k: int, pen_doc: jnp.ndarray,
-                           dist_range, brute: bool
+                           dist_range, brute: bool, validity_n=None
                            ) -> Tuple[np.ndarray, np.ndarray]:
         """Direct device execution of one field search over q [b, d] —
         row-independent, so the batch aggregator can stack several
@@ -545,7 +545,8 @@ class GammaEngine:
             pen = (self._penalty_for_store(pen_doc, store)
                    if row_space else pen_doc)
             dists, docids, vids = model.search(qd, pen, sp, k,
-                                               dist_range)
+                                               dist_range,
+                                               validity_n=validity_n)
             dists_np = np.asarray(dists)[:b]
             docids_np = np.asarray(docids)[:b]
             if row_space and store.vid_mgr.multi:
@@ -585,8 +586,18 @@ class GammaEngine:
             dists_np, docids_np = dists_np[:b], docids_np[:b]
         else:
             brute = request.brute_force_search or model is None
+            # unfiltered requests can skip the doc-space penalty gather
+            # inside the gather-mode scans (validity is decidable from
+            # the posting state + the live watermark; the gather costs
+            # ~5x the ADC kernel on TPU).  Multi-vid stores keep the
+            # doc-aligned penalty (vid->doc mapping happens in-scan).
+            validity_n = (self._live_flushed
+                          if (not request.range_filters
+                              and not request.term_filters)
+                          else None)
             runner = (lambda qq: self._exec_field_search(
-                store, model, qq, sp, k, pen_doc, dist_range, brute))
+                store, model, qq, sp, k, pen_doc, dist_range, brute,
+                validity_n))
             if self._batcher is not None:
                 # coalesce with concurrent compatible requests: same
                 # field/params/filters over the same validity snapshot,

@@ -120,7 +120,7 @@ class BinaryIVFIndex(RetrievalModel):
             self.placer.mark_deleted(vids[live])
 
     def search(self, queries, penalty, sp: SearchParams, k: int,
-               dist_range=None):
+               dist_range=None, validity_n=None):
         # Hamming distances live in a different score space; the score
         # range stays a post-filter for binary codes (engine handles it).
         assert self._trained, "BINARYIVF requires training before search"

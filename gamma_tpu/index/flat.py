@@ -48,7 +48,7 @@ class FlatIndex(RetrievalModel):
         pass   # deletes arrive via the penalty array
 
     def search(self, queries, penalty_by_row, sp: SearchParams, k: int,
-               dist_range=None):
+               dist_range=None, validity_n=None):
         metric = self.metric_name(sp, self.default_metric)
         dists, rows = flat_search(
             self.store.device, self.store.device_norms, queries,

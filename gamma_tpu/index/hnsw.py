@@ -297,7 +297,7 @@ class HNSWIndex(RetrievalModel):
         pass   # deletes arrive via the penalty array (markDelete analog)
 
     def search(self, queries, penalty_by_row, sp: SearchParams, k: int,
-               dist_range=None):
+               dist_range=None, validity_n=None):
         metric = self.metric_name(sp, self.default_metric)
         flushed = self.store.flushed
         if self.n_nodes < max(4 * self.nlinks, 256):

@@ -112,7 +112,7 @@ class IVFFlatIndex(RetrievalModel):
             np.asarray(self.state.lens))
 
     def search(self, queries, penalty, sp: SearchParams, k: int,
-               dist_range=None):
+               dist_range=None, validity_n=None):
         metric = self.metric_name(sp, self.p.metric_type)
         if not self._trained:
             d, rows = flat_search(self.store.device, self.store.device_norms,

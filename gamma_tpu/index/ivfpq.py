@@ -438,13 +438,20 @@ class IVFPQIndex(RetrievalModel):
 
     def _gather_exec(self, fn, q, queries, penalty, sp: SearchParams,
                      k: int, recall_num: int, metric: str, dist_range,
-                     nprobe: int, scan_impl: str):
+                     nprobe: int, scan_impl: str, validity_n=None):
         """Run a gather-mode scan fn; on the disk tier the exact rerank
         happens OUTSIDE the jit against host-fetched candidate rows
-        (reference: rocksdb_raw_vector.cc GetVector in compute_dis)."""
+        (reference: rocksdb_raw_vector.cc GetVector in compute_dis).
+
+        validity_n (set by the engine for UNFILTERED requests) switches
+        the in-scan mask to the gather-free validity form — the doc-space
+        penalty gather costs ~5x the ADC kernel on TPU."""
+        live_n = (None if validity_n is None
+                  else jnp.int32(int(validity_n)))
         if self.store.tier != "disk":
             return fn(self.state, self.centroids, self.cent_norms, self.pq,
                       q, penalty, self.store.device, queries, dist_range,
+                      live_n,
                       nprobe=nprobe, recall_num=recall_num, k=k,
                       metric=metric, rerank=sp.has_rank,
                       scan_impl=scan_impl)
@@ -452,6 +459,7 @@ class IVFPQIndex(RetrievalModel):
         rd, rdoc, rvid = fn(
             self.state, self.centroids, self.cent_norms, self.pq,
             q, penalty, self.store.device, queries, dist_range,
+            live_n,
             nprobe=nprobe, recall_num=rn, k=rn, metric=metric,
             rerank=False, scan_impl=scan_impl)
         if not sp.has_rank:
@@ -462,7 +470,7 @@ class IVFPQIndex(RetrievalModel):
                                     k=k, metric=metric)
 
     def search(self, queries, penalty, sp: SearchParams, k: int,
-               dist_range=None):
+               dist_range=None, validity_n=None):
         metric = self.metric_name(sp, self.p.metric_type)
         if not self._trained:
             return self._brute_fallback(queries, penalty, k, metric,
@@ -488,7 +496,8 @@ class IVFPQIndex(RetrievalModel):
                      else "xla")
         return self._gather_exec(ivf_scan.ivfpq_search, q, queries,
                                  penalty, sp, k, recall_num, metric,
-                                 dist_range, nprobe, scan_impl)
+                                 dist_range, nprobe, scan_impl,
+                                 validity_n=validity_n)
 
     # ---- persistence (reference: gamma_index_io.cc "ilar" format) ----
 

@@ -135,17 +135,16 @@ class IVFPQFastScanIndex(IVFPQIndex):
     # ---- search ----
 
     def search(self, queries, penalty, sp: SearchParams, k: int,
-               dist_range=None):
+               dist_range=None, validity_n=None):
         metric = self.metric_name(sp, self.p.metric_type)
         if not self._trained:
-            d, rows = flat_search(self.store.device, self.store.device_norms,
-                                  queries, penalty, dist_range,
-                                  k=k, metric=metric)
-            return d, rows, rows
+            return self._brute_fallback(queries, penalty, k, metric,
+                                        dist_range)
         recall_num = max(sp.recall_num, k)
         q = self._rotate(queries)
         if self.scan_mode(sp) == "dense":
-            return super().search(queries, penalty, sp, k, dist_range)
+            return super().search(queries, penalty, sp, k, dist_range,
+                                  validity_n=validity_n)
         nprobe = min(sp.nprobe or self.p.nprobe, self.p.ncentroids)
         scan_impl = ("pallas" if jax.default_backend() == "tpu"
                      else "xla")
@@ -153,7 +152,8 @@ class IVFPQFastScanIndex(IVFPQIndex):
         # read-through path instead of the (absent) device mirror
         return self._gather_exec(ivf_scan.ivfpqfs_search, q, queries,
                                  penalty, sp, k, recall_num, metric,
-                                 dist_range, nprobe, scan_impl)
+                                 dist_range, nprobe, scan_impl,
+                                 validity_n=validity_n)
 
     # ---- persistence ----
 

@@ -62,6 +62,18 @@ def _candidate_mask_penalty(docids_g, lens_g, cap, penalty):
     return jnp.where(in_len, pen, BIG)
 
 
+def _candidate_mask_validity(docids_g, lens_g, cap, live_n):
+    """Unfiltered-query mask WITHOUT the doc-space penalty gather: a
+    random gather of B x P x cap indices lowers to the TPU scalar core
+    and costs ~5x the whole ADC kernel.  Validity is fully decidable
+    from gathered state: in-length, not tombstoned (docid >= 0), and
+    below the engine's live watermark."""
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    in_len = pos[None, None, :] < lens_g[..., None]
+    ok = in_len & (docids_g >= 0) & (docids_g < live_n)
+    return jnp.where(ok, 0.0, BIG)
+
+
 def _select_candidates(dist, docids_g, vids_g, recall_num):
     b = dist.shape[0]
     flat = dist.reshape(b, -1)
@@ -123,6 +135,7 @@ def ivfpq_search(state: IVFState,
                  raw_vectors: jnp.ndarray,    # [V_cap, d] (bf16/f32)
                  queries_raw: Optional[jnp.ndarray] = None,
                  dist_range: Optional[jnp.ndarray] = None,   # [2] f32
+                 live_n: Optional[jnp.ndarray] = None,       # scalar i32
                  *, nprobe: int, recall_num: int, k: int,
                  metric: str = "l2", rerank: bool = True,
                  scan_impl: str = "xla"):
@@ -160,8 +173,10 @@ def ivfpq_search(state: IVFState,
         codes_g = jnp.take(state.codes, list_ids, axis=0)
         adc = pq_ops.adc_scan(lut, codes_g)               # [B, P, cap]
     raw_dist = adc + base
-    dist = raw_dist + _candidate_mask_penalty(
-        docids_g, lens_g, state.cap, penalty)
+    mask = (_candidate_mask_validity(docids_g, lens_g, state.cap, live_n)
+            if live_n is not None else
+            _candidate_mask_penalty(docids_g, lens_g, state.cap, penalty))
+    dist = raw_dist + mask
     if dist_range is not None:
         # fused score-range (reference: IsSimilarScoreValid inside the
         # scanner, gamma_index_ivfpq.h:574-601): the recall heap fills
@@ -199,6 +214,7 @@ def ivfpqfs_search(state: IVFState,           # codes packed [nlist,cap,M/2]
                    raw_vectors: jnp.ndarray,
                    queries_raw: Optional[jnp.ndarray] = None,
                    dist_range: Optional[jnp.ndarray] = None,
+                   live_n: Optional[jnp.ndarray] = None,     # scalar i32
                    *, nprobe: int, recall_num: int, k: int,
                    metric: str = "l2", rerank: bool = True,
                    scan_impl: str = "xla"):
@@ -224,8 +240,10 @@ def ivfpqfs_search(state: IVFState,           # codes packed [nlist,cap,M/2]
         from gamma_tpu.ops.pallas_adc import unpack_nibbles
         codes_g = unpack_nibbles(jnp.take(state.codes, list_ids, axis=0))
         raw_dist = pq_ops.adc_scan(lut[:, None], codes_g)  # [B, P, cap]
-    dist = raw_dist + _candidate_mask_penalty(
-        docids_g, lens_g, state.cap, penalty)
+    mask = (_candidate_mask_validity(docids_g, lens_g, state.cap, live_n)
+            if live_n is not None else
+            _candidate_mask_penalty(docids_g, lens_g, state.cap, penalty))
+    dist = raw_dist + mask
     if dist_range is not None:
         dist = jnp.where((raw_dist < dist_range[0])
                          | (raw_dist > dist_range[1]), BIG, dist)

@@ -129,3 +129,39 @@ def test_opq_gather_rerank_space(rng_mod):
     dists, docs = np.asarray(dists), np.asarray(docs)
     assert list(docs[:, 0]) == list(range(8))
     assert np.all(dists[:, 0] < 1e-2), dists[:, 0]
+
+
+def test_validity_mask_matches_penalty_path(corpus_medium):
+    """Unfiltered gather search via the gather-free validity mask must
+    equal the doc-space penalty path (and respect tombstones + the live
+    watermark)."""
+    import jax.numpy as jnp
+    from gamma_tpu.config import SearchParams
+    from gamma_tpu.index.ivfpq import IVFPQIndex
+    from gamma_tpu.vector.raw_store import RawVectorStore
+
+    x = corpus_medium
+    n = x.shape[0]
+    store = RawVectorStore("v", x.shape[1])
+    store.add(x)
+    store.flush_device()
+    idx = IVFPQIndex(store, {"ncentroids": 64, "nsubvector": 8,
+                             "nprobe": 16})
+    idx.train(x)
+    ids = np.arange(n, dtype=np.int64)
+    idx.add(x, ids, ids)
+    idx.delete(np.array([5, 6]))
+    sp = SearchParams.from_dict({"scan_mode": "gather", "nprobe": 16,
+                                 "recall_num": 100})
+    q = jnp.asarray(x[:8])
+    pen = np.zeros(n + 64, np.float32)
+    pen[5] = pen[6] = 3.0e38
+    d1, doc1, _ = idx.search(q, jnp.asarray(pen), sp, 10)
+    d2, doc2, _ = idx.search(q, jnp.asarray(np.zeros(n + 64, np.float32)),
+                             sp, 10, validity_n=n)
+    assert (np.asarray(doc1) == np.asarray(doc2)).all()
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
+    # watermark: rows >= validity_n are invisible
+    _, doc3, _ = idx.search(q, jnp.asarray(np.zeros(n + 64, np.float32)),
+                            sp, 10, validity_n=10)
+    assert np.asarray(doc3).max() < 10
