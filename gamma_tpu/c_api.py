@@ -21,6 +21,7 @@ from gamma_tpu.engine import GammaEngine
 from gamma_tpu.idl import wire
 
 _engines: Dict[int, GammaEngine] = {}
+_pending_docs: Dict[int, List] = {}     # PrepareDocs staging per handle
 _next_handle = [1]
 _lock = threading.Lock()
 
@@ -47,6 +48,7 @@ def Init(config_bytes: bytes) -> int:
 def Close(handle: int) -> int:
     with _lock:
         eng = _engines.pop(handle, None)
+        _pending_docs.pop(handle, None)
     if eng is None:
         return -1
     eng.close()
@@ -70,6 +72,37 @@ def AddOrUpdateDocs(handle: int, docs_bytes: bytes) -> bytes:
     return wire.pack_batch_result(codes)
 
 
+def PrepareDocs(handle: int, docs_bytes: bytes) -> int:
+    """Stage a parsed batch without ingesting (reference:
+    gamma_api.h PrepareDocs — the Go layer splits parse from commit)."""
+    _get(handle)
+    _pending_docs[handle] = wire.unpack_docs(docs_bytes)
+    return 0
+
+
+def AddOrUpdateDocsNum(handle: int, num: int) -> int:
+    """Ingest the first `num` staged docs (reference:
+    gamma_api.h AddOrUpdateDocsNum)."""
+    staged = _pending_docs.get(handle)
+    if staged is None:
+        return -1
+    take, _pending_docs[handle] = staged[:num], staged[num:]
+    codes = _get(handle).add_or_update_docs(take)
+    return 0 if all(c == 0 for c in codes) else -1
+
+
+def AddOrUpdateDocsFinish(handle: int) -> int:
+    """Ingest any remaining staged docs and clear the staging buffer
+    (reference: gamma_api.h AddOrUpdateDocsFinish)."""
+    staged = _pending_docs.pop(handle, None)
+    if staged is None:
+        return -1
+    if staged:
+        codes = _get(handle).add_or_update_docs(staged)
+        return 0 if all(c == 0 for c in codes) else -1
+    return 0
+
+
 def UpdateDoc(handle: int, doc_bytes: bytes) -> int:
     return AddOrUpdateDoc(handle, doc_bytes)
 
@@ -79,6 +112,12 @@ def DeleteDoc(handle: int, key: bytes) -> int:
                                else key)
 
 
+def DelDocByFilter(handle: int, request_bytes: bytes) -> int:
+    """Reference: gamma_api.h DelDocByFilter — the filter-only form of
+    DelDocByQuery (same request payload, range/term filters honored)."""
+    return DelDocByQuery(handle, request_bytes)
+
+
 def DelDocByQuery(handle: int, request_bytes: bytes) -> int:
     return _get(handle).del_doc_by_query(
         wire.unpack_request(request_bytes))
@@ -86,17 +125,29 @@ def DelDocByQuery(handle: int, request_bytes: bytes) -> int:
 
 # ---- reads (reference: GetDocByID :?, Search :147) ----
 
-def GetDocByID(handle: int, key: bytes) -> Optional[bytes]:
-    doc = _get(handle).get_doc_by_key(
-        key.decode() if isinstance(key, bytes) else key)
-    if doc is None:
-        return None
+def _pack_doc_dict(doc) -> bytes:
     from gamma_tpu.api.doc import Doc
     key_v = doc.pop("_id", None)
     vectors = {k: v for k, v in doc.items()
                if hasattr(v, "shape")}
     fields = {k: v for k, v in doc.items() if k not in vectors}
     return wire.pack_doc(Doc(key=key_v, fields=fields, vectors=vectors))
+
+
+def GetDocByID(handle: int, key: bytes) -> Optional[bytes]:
+    doc = _get(handle).get_doc_by_key(
+        key.decode() if isinstance(key, bytes) else key)
+    if doc is None:
+        return None
+    return _pack_doc_dict(doc)
+
+
+def GetDocByDocID(handle: int, docid: int) -> Optional[bytes]:
+    """Reference: gamma_api.h GetDocByDocID — fetch by internal docid."""
+    doc = _get(handle).get_doc(int(docid))
+    if doc is None:
+        return None
+    return _pack_doc_dict(doc)
 
 
 def Search(handle: int, request_bytes: bytes) -> bytes:

@@ -121,3 +121,48 @@ def test_c_api_lifecycle(tmp_path, rng):
         Request(topn=1, vec_fields=[VectorQuery("vec", x[7])]))))
     assert resp.results[0].result_items[0].key == "k7"
     c_api.Close(h2)
+
+
+def test_capi_full_surface_parity(tmp_path):
+    """The remaining reference entry points (gamma_api.h): GetDocByDocID,
+    DelDocByFilter, and the PrepareDocs/AddOrUpdateDocsNum/Finish
+    staged-ingest trio."""
+    import numpy as np
+    from gamma_tpu import c_api
+    from gamma_tpu.api.doc import Doc
+    from gamma_tpu.api.request import Request, RangeFilter, VectorQuery
+    from gamma_tpu.config import (DataType, EngineConfig, FieldInfo,
+                                  TableInfo, VectorInfo)
+    from gamma_tpu.idl import wire
+
+    h = c_api.Init(wire.pack_config(EngineConfig(path=str(tmp_path))))
+    c_api.CreateTable(h, wire.pack_table(TableInfo(
+        name="t", fields=[FieldInfo("price", DataType.FLOAT, True)],
+        vectors=[VectorInfo("emb", 16)], indexing_size=10_000,
+        retrieval_types=["IVFPQ"],
+        retrieval_params=[{"ncentroids": 16, "nsubvector": 4}])))
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(60, 16)).astype(np.float32)
+    docs = [Doc(key=f"k{i}", fields={"price": float(i)},
+                vectors={"emb": x[i]}) for i in range(60)]
+
+    # staged ingest trio
+    assert c_api.PrepareDocs(h, wire.pack_docs(docs)) == 0
+    assert c_api.AddOrUpdateDocsNum(h, 25) == 0
+    assert c_api.AddOrUpdateDocsFinish(h) == 0
+    assert c_api.AddOrUpdateDocsFinish(h) == -1      # nothing staged
+    c_api.Flush(h)
+    st = wire.unpack_status(c_api.GetEngineStatus(h))
+    assert st.doc_count == 60
+
+    # GetDocByDocID
+    d7 = wire.unpack_doc(c_api.GetDocByDocID(h, 7))
+    assert d7.key == "k7" and d7.fields["price"] == 7.0
+    assert c_api.GetDocByDocID(h, 10_000) is None
+
+    # DelDocByFilter (filter-only delete)
+    n = c_api.DelDocByFilter(h, wire.pack_request(Request(
+        range_filters=[RangeFilter("price", 0.0, 4.0)])))
+    assert n == 5
+    assert c_api.GetDocByID(h, b"k2") is None
+    c_api.Close(h)
