@@ -44,7 +44,8 @@ from gamma_tpu.config import IVFPQParams, MetricType, SearchParams
 from gamma_tpu.index.model import RetrievalModel
 from gamma_tpu.index.registry import register_model
 from gamma_tpu.ops import ivf_scan, kmeans as km, pq as pq_ops
-from gamma_tpu.ops.dense_scan import dense_scan_search
+from gamma_tpu.ops.dense_scan import (dense_scan_search,
+                                      dense_scan_search_fast)
 from gamma_tpu.ops.distances import BIG, l2_norms, pairwise_l2
 from gamma_tpu.ops.flat_scan import flat_search
 from gamma_tpu.realtime import invert_index as rt
@@ -58,13 +59,14 @@ DENSE_BYTES_BUDGET = 8 << 30
 
 
 @jax.jit
-def _recon_append(recon, recon_norms, vids, rows, row_norms):
+def _recon_append(recon, recon_norms, recon_bias, vids, rows, row_norms):
     # negative (padding) vids must become positive out-of-bounds before
     # the scatter: mode="drop" does not drop negatives — they wrap
     vids = jnp.where(vids < 0, 0x40000000, vids)
     recon = recon.at[vids].set(rows, mode="drop")
     recon_norms = recon_norms.at[vids].set(row_norms, mode="drop")
-    return recon, recon_norms
+    recon_bias = recon_bias.at[vids].set(row_norms, mode="drop")
+    return recon, recon_norms, recon_bias
 
 
 @jax.jit
@@ -74,12 +76,13 @@ def _valid_set(valid, vids, value):
 
 
 @jax.jit
-def _ingest_commit(state, recon, recon_norms, recon_valid,
+def _ingest_commit(state, recon, recon_norms, recon_valid, recon_bias,
                    idxs, codes, new_lens, rows, row_norms):
     """ONE dispatch for the whole ingest commit: posting-list append +
-    reconstruction-mirror scatter + validity.  The add path is dominated
-    by per-dispatch host/tunnel latency under concurrent search, so the
-    fewer device round trips the better."""
+    reconstruction-mirror scatter + validity + fused norms+validity bias
+    (the fast dense path's single broadcast operand).  The add path is
+    dominated by per-dispatch host/tunnel latency under concurrent
+    search, so the fewer device round trips the better."""
     list_ids, positions, vids, docids = (idxs[0], idxs[1], idxs[2],
                                          idxs[3])
     state = rt.append(state, list_ids, positions, codes, vids, docids,
@@ -88,7 +91,8 @@ def _ingest_commit(state, recon, recon_norms, recon_valid,
     recon = recon.at[vids_s].set(rows, mode="drop")
     recon_norms = recon_norms.at[vids_s].set(row_norms, mode="drop")
     recon_valid = recon_valid.at[vids_s].set(0.0, mode="drop")
-    return state, recon, recon_norms, recon_valid
+    recon_bias = recon_bias.at[vids_s].set(row_norms, mode="drop")
+    return state, recon, recon_norms, recon_valid, recon_bias
 
 
 @jax.jit
@@ -179,6 +183,11 @@ class IVFPQIndex(RetrievalModel):
         self.recon = jnp.zeros((rows0, self.d), self.recon_dtype)
         self.recon_norms = jnp.zeros((rows0,), jnp.float32)
         self.recon_valid = jnp.full((rows0,), BIG, jnp.float32)
+        # norms + validity fused into one array: the unfiltered dense
+        # scan feeds ApproxTopK `(-2q)·recon + bias` — a single broadcast
+        # operand keeps the whole chain fused into the TopK custom call
+        # (two operands force a 2x [B, N] HBM materialization; +45%/batch)
+        self.recon_bias = jnp.full((rows0,), BIG, jnp.float32)
 
     def _code_width(self) -> int:
         """Posting-payload bytes per vector (FastScan overrides: packed
@@ -293,6 +302,8 @@ class IVFPQIndex(RetrievalModel):
         self.recon_norms = jnp.pad(self.recon_norms, (0, pad))
         self.recon_valid = jnp.pad(self.recon_valid, (0, pad),
                                    constant_values=BIG)
+        self.recon_bias = jnp.pad(self.recon_bias, (0, pad),
+                                  constant_values=BIG)
 
     def add(self, x: np.ndarray, vids: np.ndarray,
             docids: np.ndarray) -> None:
@@ -342,9 +353,10 @@ class IVFPQIndex(RetrievalModel):
         if self.keep_recon:
             self._grow_recon(int(np.max(vids)) + 1)
             (self.state, self.recon, self.recon_norms,
-             self.recon_valid) = _ingest_commit(
+             self.recon_valid, self.recon_bias) = _ingest_commit(
                 self.state, self.recon, self.recon_norms,
-                self.recon_valid, idxs_d, codes, lens_d, recon, rnorms)
+                self.recon_valid, self.recon_bias, idxs_d, codes, lens_d,
+                recon, rnorms)
         else:
             self.state = _ingest_commit_norecon(self.state, idxs_d,
                                                 codes, lens_d)
@@ -368,9 +380,9 @@ class IVFPQIndex(RetrievalModel):
                 jnp.asarray(ps[live], jnp.int32))
             self.placer.mark_deleted(vids[live])
             if self.keep_recon:
-                self.recon_valid = _valid_set(
-                    self.recon_valid, jnp.asarray(vids[live], jnp.int32),
-                    BIG)
+                dv = jnp.asarray(vids[live], jnp.int32)
+                self.recon_valid = _valid_set(self.recon_valid, dv, BIG)
+                self.recon_bias = _valid_set(self.recon_bias, dv, BIG)
 
     def compact(self, threshold: float = 0.3) -> None:
         """Reclaim tombstoned slots when ≥30% dead (reference policy:
@@ -478,12 +490,27 @@ class IVFPQIndex(RetrievalModel):
         recall_num = max(sp.recall_num, k)
         q = self._rotate(queries)
         if self.scan_mode(sp) == "dense":
-            d, vids = dense_scan_search(
-                self.recon, self.recon_norms, q,
-                self._dense_penalty(penalty), self.store.device, queries,
-                dist_range,
-                recall_num=recall_num, k=k, metric=metric,
-                rerank=sp.has_rank, recall_target=sp.recall_target)
+            if (validity_n is not None and dist_range is None
+                    and not self.store.vid_mgr.multi):
+                # unfiltered fast path: norms+validity pre-fused into
+                # recon_bias so the scan is one matmul + one broadcast
+                # feeding ApproxTopK with no HBM materialization
+                # (multi-vid stores keep the doc-aligned penalty path —
+                # the watermark lives in doc space)
+                bias = (self.recon_valid if metric == "ip"
+                        else self.recon_bias)
+                d, vids = dense_scan_search_fast(
+                    self.recon, bias, q, queries, self.store.device,
+                    jnp.int32(int(validity_n)),
+                    recall_num=recall_num, k=k, metric=metric,
+                    rerank=sp.has_rank, recall_target=sp.recall_target)
+            else:
+                d, vids = dense_scan_search(
+                    self.recon, self.recon_norms, q,
+                    self._dense_penalty(penalty), self.store.device,
+                    queries, dist_range,
+                    recall_num=recall_num, k=k, metric=metric,
+                    rerank=sp.has_rank, recall_target=sp.recall_target)
             if self.store.vid_mgr.multi:
                 v_np = np.asarray(vids)
                 docids = np.where(
@@ -571,15 +598,15 @@ class IVFPQIndex(RetrievalModel):
                 self.pq, jnp.asarray(cflat[s:e]))[:, : self.d]
             ).astype(self.recon_dtype)
             vd = jnp.asarray(vflat[s:e], jnp.int32)
-            self.recon, self.recon_norms = _recon_append(
-                self.recon, self.recon_norms, vd,
+            self.recon, self.recon_norms, self.recon_bias = _recon_append(
+                self.recon, self.recon_norms, self.recon_bias, vd,
                 rec, l2_norms(rec.astype(jnp.float32)))
             self.recon_valid = _valid_set(self.recon_valid, vd, 0.0)
 
     def mem_bytes(self) -> int:
         m = self.state.mem_bytes()
         m += self.recon.size * self.recon.dtype.itemsize + self.recon_norms.size * 4
-        m += self.recon_valid.size * 4
+        m += self.recon_valid.size * 4 + self.recon_bias.size * 4
         if self.centroids is not None:
             m += self.centroids.size * 4
         if self.pq is not None:

@@ -178,7 +178,7 @@ class IVFPQFastScanIndex(IVFPQIndex):
             rec = pq_ops.decode_pq(self.pq, codes)[:, : self.d].astype(
                 self.recon_dtype)
             vd = jnp.asarray(vflat[s:e], jnp.int32)
-            self.recon, self.recon_norms = _recon_append(
-                self.recon, self.recon_norms, vd,
+            self.recon, self.recon_norms, self.recon_bias = _recon_append(
+                self.recon, self.recon_norms, self.recon_bias, vd,
                 rec, l2_norms(rec.astype(jnp.float32)))
             self.recon_valid = _valid_set(self.recon_valid, vd, 0.0)

@@ -330,19 +330,20 @@ def sharded_dense_search_fn(mesh: Mesh, *, recall_num: int, k: int,
     local ApproxTopK, ICI merge, psum-gathered exact rerank.  Queries
     sharded over "q".  penalty is vid-aligned and row-sharded over "l"."""
 
-    def body(recon_l, rnorms_l, raw_l, queries, pen_l, queries_raw):
+    def body(recon_l, bias_l, raw_l, queries, queries_raw):
+        # bias_l = norms + validity + penalty pre-fused into ONE [R]
+        # operand (built by `search` below as a tiny sharded kernel): a
+        # single broadcast keeps the matmul → ApproxTopK chain fused —
+        # two broadcast operands force XLA to materialize the [B, R]
+        # distance tile in HBM twice (+45%/batch, see ops/dense_scan.py)
         my = jax.lax.axis_index(LIST_AXIS)
         qf = queries.astype(jnp.float32)
+        scale = -1.0 if metric == "ip" else -2.0
         cross = jax.lax.dot_general(
-            queries.astype(recon_l.dtype), recon_l,
+            (scale * qf).astype(recon_l.dtype), recon_l,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        if metric == "ip":
-            dist = -cross + pen_l[None, :]
-        else:
-            dist = (jnp.sum(qf * qf, -1, keepdims=True) - 2.0 * cross
-                    + rnorms_l[None, :] + pen_l[None, :])
-        dist = jnp.minimum(dist, BIG)
+        dist = cross + bias_l[None, :]
         r = max(recall_num, k)
         if dist.shape[1] <= max(4 * r, 2048):
             nd, lidx = jax.lax.top_k(-dist, min(r, dist.shape[1]))
@@ -355,6 +356,12 @@ def sharded_dense_search_fn(mesh: Mesh, *, recall_num: int, k: int,
         else:
             rd, lidx = jax.lax.approx_min_k(dist, r,
                                             recall_target=recall_target)
+        if metric != "ip":
+            # the per-query ||q||² constant is rank-neutral — add it
+            # AFTER selection (identical across shards, so the merged
+            # values stay comparable)
+            rd = rd + jnp.sum(qf * qf, -1, keepdims=True)
+        rd = jnp.minimum(rd, BIG)
         gids = my * rows_per_shard + lidx
         rd_g = jax.lax.all_gather(rd, LIST_AXIS, axis=1, tiled=True)
         gid_g = jax.lax.all_gather(gids, LIST_AXIS, axis=1, tiled=True)
@@ -384,14 +391,18 @@ def sharded_dense_search_fn(mesh: Mesh, *, recall_num: int, k: int,
     rows2 = P(LIST_AXIS, None)
     qrow = P(QUERY_AXIS, None)
     fn = shard_map(body, mesh,
-                   in_specs=(rows2, P(LIST_AXIS), rows2, qrow,
-                             P(LIST_AXIS), qrow),
+                   in_specs=(rows2, P(LIST_AXIS), rows2, qrow, qrow),
                    out_specs=(qrow, qrow))
 
     @jax.jit
     def search(sharded: ShardedDense, queries, penalty, queries_raw):
-        return fn(sharded.recon, sharded.recon_norms, sharded.raw,
-                  queries, penalty, queries_raw)
+        # fold norms + penalty into one [R] bias (a tiny sharded kernel)
+        # so the body's scan chain stays fused end-to-end
+        if metric == "ip":
+            bias = jnp.minimum(penalty, BIG)
+        else:
+            bias = jnp.minimum(sharded.recon_norms + penalty, BIG)
+        return fn(sharded.recon, bias, sharded.raw, queries, queries_raw)
 
     return search
 

@@ -165,3 +165,55 @@ def test_validity_mask_matches_penalty_path(corpus_medium):
     _, doc3, _ = idx.search(q, jnp.asarray(np.zeros(n + 64, np.float32)),
                             sp, 10, validity_n=10)
     assert np.asarray(doc3).max() < 10
+
+
+def test_dense_fast_path_matches_penalty_path(corpus_medium):
+    """Unfiltered DENSE search via the fused-bias fast path
+    (ops/dense_scan.py dense_scan_search_fast) must return the same docs
+    as the penalty-array path, honor tombstones + the live watermark,
+    and restore the bias across dump/load."""
+    import jax.numpy as jnp
+    from gamma_tpu.config import SearchParams
+    from gamma_tpu.index.ivfpq import IVFPQIndex
+    from gamma_tpu.vector.raw_store import RawVectorStore
+
+    x = corpus_medium
+    n = x.shape[0]
+    store = RawVectorStore("v", x.shape[1])
+    store.add(x)
+    store.flush_device()
+    idx = IVFPQIndex(store, {"ncentroids": 64, "nsubvector": 8})
+    idx.train(x)
+    ids = np.arange(n, dtype=np.int64)
+    idx.add(x, ids, ids)
+    idx.delete(np.array([5, 6]))
+    sp = SearchParams.from_dict({"scan_mode": "dense",
+                                 "recall_num": 100})
+    q = jnp.asarray(x[:8])
+    pen = np.zeros(n + 64, np.float32)
+    pen[5] = pen[6] = 3.0e38
+    d1, doc1, _ = idx.search(q, jnp.asarray(pen), sp, 10)
+    d2, doc2, _ = idx.search(q, jnp.asarray(np.zeros(n + 64, np.float32)),
+                             sp, 10, validity_n=n)
+    assert (np.asarray(doc1) == np.asarray(doc2)).all()
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-5, atol=1e-4)
+    assert 5 not in np.asarray(doc2) and 6 not in np.asarray(doc2)
+    # watermark: rows >= validity_n are invisible
+    _, doc3, _ = idx.search(q, jnp.asarray(np.zeros(n + 64, np.float32)),
+                            sp, 10, validity_n=10)
+    doc3 = np.asarray(doc3)
+    assert doc3[doc3 >= 0].size == 0 or doc3.max() < 10
+    # bias survives checkpoint: deleted rows stay dead after load
+    import tempfile, os as _os
+    with tempfile.TemporaryDirectory() as td:
+        p = _os.path.join(td, "ivfpq")
+        idx.dump(p)
+        idx2 = IVFPQIndex(store, {"ncentroids": 64, "nsubvector": 8})
+        idx2.load(p)
+        d4, doc4, _ = idx2.search(
+            q, jnp.asarray(np.zeros(n + 64, np.float32)), sp, 10,
+            validity_n=n)
+        doc4 = np.asarray(doc4)
+        assert 5 not in doc4 and 6 not in doc4
+        assert (doc4 == np.asarray(doc2)).all()
