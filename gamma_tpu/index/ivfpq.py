@@ -396,6 +396,17 @@ class IVFPQIndex(RetrievalModel):
 
     # ---- search ----
 
+    def _live_n_scalar(self, validity_n) -> jnp.ndarray:
+        """Device scalar for the live watermark, cached by value — a
+        fresh jnp.int32 per call is a host→device upload on the search
+        hot path (milliseconds through a tunneled device)."""
+        c = getattr(self, "_live_n_cache", None)
+        v = int(validity_n)
+        if c is None or c[0] != v:
+            c = (v, jnp.int32(v))
+            self._live_n_cache = c
+        return c[1]
+
     def _dense_penalty(self, penalty: jnp.ndarray) -> jnp.ndarray:
         """Vid-align the doc-aligned penalty and fold in slot validity."""
         cap = self.recon.shape[0]
@@ -459,7 +470,7 @@ class IVFPQIndex(RetrievalModel):
         the in-scan mask to the gather-free validity form — the doc-space
         penalty gather costs ~5x the ADC kernel on TPU."""
         live_n = (None if validity_n is None
-                  else jnp.int32(int(validity_n)))
+                  else self._live_n_scalar(validity_n))
         if self.store.tier != "disk":
             return fn(self.state, self.centroids, self.cent_norms, self.pq,
                       q, penalty, self.store.device, queries, dist_range,
@@ -501,7 +512,7 @@ class IVFPQIndex(RetrievalModel):
                         else self.recon_bias)
                 d, vids = dense_scan_search_fast(
                     self.recon, bias, q, queries, self.store.device,
-                    jnp.int32(int(validity_n)),
+                    self._live_n_scalar(validity_n),
                     recall_num=recall_num, k=k, metric=metric,
                     rerank=sp.has_rank, recall_target=sp.recall_target)
             else:

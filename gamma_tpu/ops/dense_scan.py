@@ -145,25 +145,47 @@ def dense_scan_search(recon: jnp.ndarray,        # [N_cap, d] bf16
     the exact rerank (reference: IsSimilarScoreValid in the scanner,
     gamma_index_ivfpq.h:574-601) so top-k fills with in-range hits."""
     qf = queries.astype(jnp.float32)
-    # match the mirror's dtype: with a float32 recon the query must stay
-    # f32 too or candidate selection keeps bf16-level error anyway
-    cross = jax.lax.dot_general(
-        queries.astype(recon.dtype), recon,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    if metric == "ip":
-        raw_dist = -cross
+    r = max(recall_num, k)
+    if dist_range is None:
+        # filtered-but-unranged: fold norms + penalty into ONE [N]
+        # operand behind an optimization barrier (without it XLA inlines
+        # the add back into the scan and re-materializes the [B, N]
+        # distance tensor twice — +45% batch time; see the fast form's
+        # docstring).  The per-query ||q||² constant is added after
+        # selection (rank-neutral, exact).
+        scale = -1.0 if metric == "ip" else -2.0
+        cross = jax.lax.dot_general(
+            (scale * qf).astype(recon.dtype), recon,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if metric == "ip":
+            bias = jax.lax.optimization_barrier(
+                jnp.minimum(penalty, BIG))
+        else:
+            bias = jax.lax.optimization_barrier(
+                jnp.minimum(recon_norms + penalty, BIG))
+        rd, rvid = _approx_min_k(cross + bias[None, :], r, recall_target)
+        if metric != "ip":
+            rd = rd + jnp.sum(qf * qf, axis=-1, keepdims=True)
     else:
-        qn = jnp.sum(qf * qf, axis=-1, keepdims=True)
-        raw_dist = qn - 2.0 * cross + recon_norms[None, :]
-    dist = raw_dist + penalty[None, :]
-    if dist_range is not None:
+        # score-range requests need the raw (penalty-free) distance per
+        # candidate to range-mask BEFORE selection so top-k fills with
+        # in-range hits (reference: IsSimilarScoreValid in the scanner,
+        # gamma_index_ivfpq.h:574-601) — keep the two-operand form
+        cross = jax.lax.dot_general(
+            queries.astype(recon.dtype), recon,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if metric == "ip":
+            raw_dist = -cross
+        else:
+            qn = jnp.sum(qf * qf, axis=-1, keepdims=True)
+            raw_dist = qn - 2.0 * cross + recon_norms[None, :]
+        dist = raw_dist + penalty[None, :]
         out = (raw_dist < dist_range[0]) | (raw_dist > dist_range[1])
         dist = jnp.where(out, BIG, dist)
-    dist = jnp.minimum(dist, BIG)
-
-    r = max(recall_num, k)
-    rd, rvid = _approx_min_k(dist, r, recall_target)
+        dist = jnp.minimum(dist, BIG)
+        rd, rvid = _approx_min_k(dist, r, recall_target)
     if not rerank:
         return rd[:, :k], jnp.where(rd[:, :k] >= BIG, -1, rvid[:, :k])
 
