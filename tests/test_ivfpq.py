@@ -217,3 +217,50 @@ def test_dense_fast_path_matches_penalty_path(corpus_medium):
         doc4 = np.asarray(doc4)
         assert 5 not in doc4 and 6 not in doc4
         assert (doc4 == np.asarray(doc2)).all()
+
+
+def test_dense_fast_path_ip_and_update(corpus_medium):
+    """Fast-path coverage for the IP metric (bias = validity only) and
+    the update path (tombstone + re-append must keep exactly one live
+    copy visible)."""
+    import jax.numpy as jnp
+    from gamma_tpu.config import SearchParams
+    from gamma_tpu.index.ivfpq import IVFPQIndex
+    from gamma_tpu.vector.raw_store import RawVectorStore
+
+    x = corpus_medium.copy()
+    n = x.shape[0]
+    store = RawVectorStore("v", x.shape[1])
+    store.add(x)
+    store.flush_device()
+    idx = IVFPQIndex(store, {"ncentroids": 64, "nsubvector": 8,
+                             "metric_type": "InnerProduct"})
+    idx.train(x)
+    ids = np.arange(n, dtype=np.int64)
+    idx.add(x, ids, ids)
+    sp = SearchParams.from_dict({"scan_mode": "dense", "recall_num": 100,
+                                 "metric_type": "InnerProduct"})
+    q = jnp.asarray(x[:4])
+    zeros = jnp.asarray(np.zeros(n + 64, np.float32))
+    d1, doc1, _ = idx.search(q, zeros, sp, 10)
+    d2, doc2, _ = idx.search(q, zeros, sp, 10, validity_n=n)
+    assert (np.asarray(doc1) == np.asarray(doc2)).all()
+    # update doc 0: tombstone + re-append with a new vector; the fast
+    # path must see only the new copy
+    x0 = x[1] * 0.5
+    idx.delete(np.array([0]))
+    store.update(np.array([0]), x0[None, :])
+    store.flush_device()
+    idx.add(x0[None, :], np.array([0]), np.array([0]))
+    # IP has no self-retrieval guarantee (bigger-norm rows can beat the
+    # query's own doc) — assert fast vs penalty-path parity instead:
+    # both must agree on the post-update state (one live copy, new code)
+    qn = jnp.asarray(x0[None, :])
+    d3, doc3, _ = idx.search(qn, zeros, sp, 10, validity_n=n)
+    d4, doc4, _ = idx.search(qn, zeros, sp, 10)
+    assert (np.asarray(doc3) == np.asarray(doc4)).all()
+    np.testing.assert_allclose(np.asarray(d3), np.asarray(d4),
+                               rtol=1e-5, atol=1e-4)
+    docs_all = np.asarray(idx.search(qn, zeros, sp, 100,
+                                     validity_n=n)[1])[0]
+    assert (docs_all == 0).sum() <= 1
