@@ -131,10 +131,15 @@ def main():
     # ---- build ----
     # bucket_init_size pre-sized to the expected max list length so
     # capacity growth (a new shape → a fresh compile) happens at most once
+    # 4x the mean list length pre-sizes past any imbalance at 1M; at 10M
+    # that headroom alone is ~1.3 GB of codes — 3x still clears the
+    # measured max-list skew of this corpus and keeps the 10M config
+    # inside HBM alongside the bf16 store + mirror
+    bucket_x = 4 if n < 5_000_000 else 3
     idx = IVFPQIndex(store, {"ncentroids": nlist, "nsubvector": m,
                              "nprobe": nprobe,
                              "bucket_init_size":
-                                 max(1024, 4 * n // nlist)})
+                                 max(1024, bucket_x * n // nlist)})
     t0 = time.time()
     idx.train(corpus[: nlist * 256])
     train_s = time.time() - t0

@@ -96,6 +96,30 @@ def _ingest_commit(state, recon, recon_norms, recon_valid, recon_bias,
 
 
 @jax.jit
+def _recon_commit(recon, recon_norms, recon_valid, recon_bias,
+                  vids, rows, row_norms):
+    """Mirror-only half of the ingest commit (big-corpus path): with
+    buffer donation off by design (in-flight searches hold snapshots),
+    a single fused commit holds TWO generations of codes AND recon
+    simultaneously — at 10M rows that transient alone is ~4 GB and OOMs
+    a 16 GB chip.  Splitting mirror and posting-state commits halves the
+    peak; ordering mirror first keeps search correct between the two
+    (rows become valid in the mirror before they are published in the
+    posting lists — realtime semantics allow either)."""
+    vids_s = jnp.where(vids < 0, 0x40000000, vids)
+    recon = recon.at[vids_s].set(rows, mode="drop")
+    recon_norms = recon_norms.at[vids_s].set(row_norms, mode="drop")
+    recon_valid = recon_valid.at[vids_s].set(0.0, mode="drop")
+    recon_bias = recon_bias.at[vids_s].set(row_norms, mode="drop")
+    return recon, recon_norms, recon_valid, recon_bias
+
+
+# split the commit once the mirror outgrows this (one extra dispatch per
+# add-batch, ~ms, vs a 2x-mirror transient in HBM)
+SPLIT_COMMIT_BYTES = 1 << 30
+
+
+@jax.jit
 def _ingest_commit_norecon(state, idxs, codes, new_lens):
     list_ids, positions, vids, docids = (idxs[0], idxs[1], idxs[2],
                                          idxs[3])
@@ -352,11 +376,21 @@ class IVFPQIndex(RetrievalModel):
         _t0 = _time.perf_counter()
         if self.keep_recon:
             self._grow_recon(int(np.max(vids)) + 1)
-            (self.state, self.recon, self.recon_norms,
-             self.recon_valid, self.recon_bias) = _ingest_commit(
-                self.state, self.recon, self.recon_norms,
-                self.recon_valid, self.recon_bias, idxs_d, codes, lens_d,
-                recon, rnorms)
+            big = (self.recon.nbytes + self.state.codes.nbytes
+                   > SPLIT_COMMIT_BYTES)
+            if big:
+                (self.recon, self.recon_norms, self.recon_valid,
+                 self.recon_bias) = _recon_commit(
+                    self.recon, self.recon_norms, self.recon_valid,
+                    self.recon_bias, idxs_d[2], recon, rnorms)
+                self.state = _ingest_commit_norecon(self.state, idxs_d,
+                                                    codes, lens_d)
+            else:
+                (self.state, self.recon, self.recon_norms,
+                 self.recon_valid, self.recon_bias) = _ingest_commit(
+                    self.state, self.recon, self.recon_norms,
+                    self.recon_valid, self.recon_bias, idxs_d, codes,
+                    lens_d, recon, rnorms)
         else:
             self.state = _ingest_commit_norecon(self.state, idxs_d,
                                                 codes, lens_d)

@@ -264,3 +264,38 @@ def test_dense_fast_path_ip_and_update(corpus_medium):
     docs_all = np.asarray(idx.search(qn, zeros, sp, 100,
                                      validity_n=n)[1])[0]
     assert (docs_all == 0).sum() <= 1
+
+
+def test_split_commit_parity(corpus_medium, monkeypatch):
+    """The big-corpus two-dispatch commit (mirror first, then posting
+    state) must produce the same index as the fused single-dispatch
+    commit."""
+    import jax.numpy as jnp
+    from gamma_tpu import index as _ix
+    from gamma_tpu.config import SearchParams
+    from gamma_tpu.index import ivfpq as ivfpq_mod
+    from gamma_tpu.vector.raw_store import RawVectorStore
+
+    x = corpus_medium
+    n = x.shape[0]
+    outs = []
+    for split in (False, True):
+        monkeypatch.setattr(ivfpq_mod, "SPLIT_COMMIT_BYTES",
+                            0 if split else (1 << 30))
+        store = RawVectorStore("v", x.shape[1])
+        store.add(x)
+        store.flush_device()
+        idx = ivfpq_mod.IVFPQIndex(store, {"ncentroids": 64,
+                                           "nsubvector": 8})
+        idx.train(x)
+        ids = np.arange(n, dtype=np.int64)
+        idx.add(x, ids, ids)
+        idx.delete(np.array([3]))
+        sp = SearchParams.from_dict({"scan_mode": "dense",
+                                     "recall_num": 100})
+        d, doc, _ = idx.search(jnp.asarray(x[:8]),
+                               jnp.asarray(np.zeros(n + 64, np.float32)),
+                               sp, 10, validity_n=n)
+        outs.append((np.asarray(d), np.asarray(doc)))
+    assert (outs[0][1] == outs[1][1]).all()
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
