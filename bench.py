@@ -193,18 +193,35 @@ def main():
     jax.block_until_ready(run(qb))          # warm compile
     iters = int(os.environ.get("GAMMA_BENCH_ITERS", 50))
 
-    def measure_qps(fn, iters=iters, reps=2):
+    def measure_qps(fn, iters=iters, reps=2, rows=batch):
         best = 0.0
         for _ in range(reps):       # best-of-N: tunnel latency is spiky
             t0 = time.time()
             for _ in range(iters):
                 out = fn()
             _ = np.asarray(jax.tree.leaves(out)[0][:1])
-            best = max(best, iters * batch / (time.time() - t0))
+            best = max(best, iters * rows / (time.time() - t0))
         return best
 
-    qps = measure_qps(lambda: run(qb), reps=3)
-    log(f"search: {qps:,.0f} QPS ({batch/qps*1000:.2f} ms/batch)")
+    # batch sweep — the TPU analog of the reference's search-thread sweep
+    # (tools/perf.cc:245 sweeps {1..100} threads until QPS stops
+    # improving): device concurrency is batch width, and the dense scan
+    # reads the whole mirror per dispatch, so wider batches amortize both
+    # the HBM traffic and the single-core host dispatch overhead.
+    # GAMMA_BENCH_B pins a single width.
+    widths = ([batch] if os.environ.get("GAMMA_BENCH_B")
+              else sorted({batch, 512, 1024}))
+    qps_by_batch = {}
+    for bs in widths:
+        qsweep = qd[np.arange(bs) % nq]
+        jax.block_until_ready(run(qsweep))      # warm compile
+        qps_by_batch[bs] = measure_qps(lambda: run(qsweep), reps=3,
+                                       rows=bs)
+        log(f"search @batch {bs}: {qps_by_batch[bs]:,.0f} QPS "
+            f"({bs/qps_by_batch[bs]*1000:.2f} ms/batch)")
+    batch_best = max(qps_by_batch, key=qps_by_batch.get)
+    qps = qps_by_batch[batch_best]
+    log(f"search: {qps:,.0f} QPS (batch {batch_best})")
 
     # ---- config 4: hybrid filtered search at selectivities ----
     filtered_qps = {}
@@ -225,6 +242,16 @@ def main():
     # Driver-visible proof of the Pallas path: a non-interpret agreement
     # check of adc_scan_pallas against the XLA formulation on the real
     # chip, then recall + QPS for scan_mode="gather" at the same config.
+    # Skipped (and SAID so) past 2M rows: this bench holds the dense
+    # mirror AND the gather intermediates simultaneously, which no real
+    # deployment does (a capacity-tier store runs keep_recon=False) —
+    # at 10M the combination OOMs one chip.
+    gather_sections = (n <= 2_000_000
+                       or os.environ.get("GAMMA_BENCH_GATHER") == "1")
+    if not gather_sections:
+        log(f"gather/fastscan sections skipped at n={n:,} "
+            "(dense mirror + gather intermediates exceed one chip's HBM "
+            "when built side by side; set GAMMA_BENCH_GATHER=1 to force)")
     from gamma_tpu.ops import ivf_scan as iv, pq as pq_ops
     sp_g = SearchParams.from_dict({
         "scan_mode": "gather", "recall_num": recall_num,
@@ -236,7 +263,7 @@ def main():
         return idx.search(qb, penalty, sp_g, k, validity_n=n)
 
     pallas_rel_err = None
-    if jax.default_backend() == "tpu":
+    if gather_sections and jax.default_backend() == "tpu":
         from gamma_tpu.ops.pallas_adc import adc_scan_pallas
         qs = idx._rotate(qd[:8])
         _, lids = iv.coarse_assign(qs, idx.centroids, idx.cent_norms,
@@ -253,22 +280,25 @@ def main():
             f"pallas ADC mismatch: {pallas_rel_err}"
         log(f"pallas vs XLA ADC max rel err: {pallas_rel_err:.2e}")
 
-    found_g = []
-    for s in range(0, nq, batch):
-        _, docs, _ = run_gather(qd[s: s + batch])
-        found_g.append(np.asarray(docs))
-    found_g = np.concatenate(found_g)
-    recall10_g = float(np.mean([
-        len(set(found_g[i].tolist()) & set(gt_ids[i].tolist())) / k
-        for i in range(nq)]))
-    gather_qps = measure_qps(lambda: run_gather(qb), iters=5, reps=2)
-    log(f"gather mode (nprobe={nprobe}): {gather_qps:,.0f} QPS, "
-        f"recall@10 = {recall10_g:.4f}")
+    gather_qps = recall10_g = None
+    if gather_sections:
+        found_g = []
+        for s in range(0, nq, batch):
+            _, docs, _ = run_gather(qd[s: s + batch])
+            found_g.append(np.asarray(docs))
+        found_g = np.concatenate(found_g)
+        recall10_g = float(np.mean([
+            len(set(found_g[i].tolist()) & set(gt_ids[i].tolist())) / k
+            for i in range(nq)]))
+        gather_qps = measure_qps(lambda: run_gather(qb), iters=5, reps=2)
+        log(f"gather mode (nprobe={nprobe}): {gather_qps:,.0f} QPS, "
+            f"recall@10 = {recall10_g:.4f}")
 
     # ---- IVFPQ_FASTSCAN (4-bit packed, ksub=16 kernel) at the same
     # config: the fast capacity-mode operating point ----
     fs_qps = fs_recall = None
-    if os.environ.get("GAMMA_BENCH_FASTSCAN", "1") == "1":
+    if (gather_sections
+            and os.environ.get("GAMMA_BENCH_FASTSCAN", "1") == "1"):
         from gamma_tpu.index.ivfpq_fastscan import IVFPQFastScanIndex
         fs = IVFPQFastScanIndex(store, {
             "ncentroids": nlist, "nsubvector": 2 * m, "nprobe": nprobe,
@@ -396,8 +426,9 @@ def main():
         "vs_baseline": round(qps / REF_QPS, 3),
         "recall_at_10": round(recall10, 4),
         "inserts_per_s": round(inserts_per_s, 0),
-        "gather_qps": round(gather_qps, 1),
-        "gather_recall_at_10": round(recall10_g, 4),
+        "gather_qps": None if gather_qps is None else round(gather_qps, 1),
+        "gather_recall_at_10": (None if recall10_g is None
+                                else round(recall10_g, 4)),
         "fastscan_qps": None if fs_qps is None else round(fs_qps, 1),
         "fastscan_recall_at_10": (None if fs_recall is None
                                   else round(fs_recall, 4)),
@@ -407,7 +438,7 @@ def main():
         "concurrent_inserts_per_s": round(ingest_done["rate"], 0),
         "train_s": round(train_s, 1),
         "n": n, "d": d, "nlist": nlist, "m": m, "nprobe": nprobe,
-        "batch": batch,
+        "batch": batch_best, "qps_by_batch": qps_by_batch,
         "total_wall_s": round(time.time() - t_start, 1),
     }))
 
