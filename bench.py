@@ -210,7 +210,7 @@ def main():
     # the HBM traffic and the single-core host dispatch overhead.
     # GAMMA_BENCH_B pins a single width.
     widths = ([batch] if os.environ.get("GAMMA_BENCH_B")
-              else sorted({batch, 512, 1024}))
+              else sorted({batch, 512, 1024, 2048}))
     qps_by_batch = {}
     for bs in widths:
         qsweep = qd[np.arange(bs) % nq]
