@@ -34,8 +34,8 @@ from gamma_tpu.api.request import Request, VectorQuery
 from gamma_tpu.api.response import (Response, ResultItem, SearchResult,
                                     SearchResultCode)
 from gamma_tpu.api.status import EngineStatus, IndexStatus
-from gamma_tpu.config import (EngineConfig, MetricType, SearchParams,
-                              TableInfo)
+from gamma_tpu.config import (DataType, EngineConfig, MetricType,
+                              SearchParams, TableInfo)
 from gamma_tpu.ops import penalty as pen_ops
 from gamma_tpu.ops.distances import BIG
 from gamma_tpu.ops.flat_scan import flat_search
@@ -434,23 +434,71 @@ class GammaEngine:
             perf.perf("merge")
 
             metric = self._result_metric(sp)
+            # batch the post-processing: one bitmap test, one score
+            # transform, and one column fancy-index per field for the
+            # WHOLE result set — per-hit Python (get_doc dict per item)
+            # was ~70 ms for a 512x10 response (reference packs per hit
+            # too, gamma_response.cc:217, but in C++)
+            l2s = bool(request.l2_sqrt or sp.l2_sqrt)
+            want = request.fields or []
+            tf = self.table.fields
+            num_fields = [f for f in want
+                          if f in tf and tf[f].data_type != DataType.STRING]
+            str_fields = [f for f in want
+                          if f in tf and tf[f].data_type == DataType.STRING]
+            vec_names = [f for f in want if f in self.vm.stores]
+            flat_rows: List[int] = []
+            flat_ids: List[int] = []
+            flat_dists: List[float] = []
             for b in range(len(merged)):
-                sr = SearchResult()
                 for dist, docid in merged[b]:
-                    if len(sr.result_items) >= request.topn:
-                        break
                     if docid < 0 or dist >= BIG:
                         continue
-                    if self.bitmap.test(int(docid)):
-                        continue
-                    score = self._to_score(dist, metric, request.l2_sqrt
-                                           or sp.l2_sqrt)
-                    item = ResultItem(score=score, docid=int(docid),
-                                      key=self.table.key_by_docid(int(docid)))
-                    if request.fields:
-                        item.attributes = self._pack_fields(
-                            int(docid), request.fields)
-                    sr.result_items.append(item)
+                    flat_rows.append(b)
+                    flat_ids.append(int(docid))
+                    flat_dists.append(float(dist))
+            ids_arr = np.asarray(flat_ids, np.int64)
+            if ids_arr.size:
+                dead = self.bitmap.test_many(ids_arr)
+                darr = np.asarray(flat_dists)
+                if metric == "ip":
+                    scores = -darr
+                elif l2s:
+                    scores = np.sqrt(np.maximum(darr, 0.0))
+                else:
+                    scores = darr
+                num_vals = {f: self.table.columns[f][ids_arr]
+                            for f in num_fields}
+            else:
+                dead = np.zeros(0, bool)
+                scores = np.zeros(0)
+                num_vals = {}
+            out_srs = [SearchResult() for _ in merged]
+            keys = self.table.doc_keys
+            heaps = self.table.heaps
+            topn = request.topn
+            for j in range(ids_arr.size):
+                if dead[j]:
+                    continue
+                sr = out_srs[flat_rows[j]]
+                if len(sr.result_items) >= topn:
+                    continue
+                docid = flat_ids[j]
+                item = ResultItem(
+                    score=float(scores[j]), docid=docid,
+                    key=keys[docid] if 0 <= docid < len(keys) else None)
+                if want:
+                    attrs = {f: v[j].item() for f, v in num_vals.items()}
+                    for f in str_fields:
+                        attrs[f] = heaps[f].get(docid)
+                    for f in vec_names:
+                        store = self.vm.stores[f]
+                        vid = store.vid_mgr.doc2vid(docid)
+                        if 0 <= vid < store.n:
+                            attrs[f] = store.get(np.array([vid]))[0]
+                    item.attributes = attrs
+                sr.result_items.append(item)
+            for sr in out_srs:
                 sr.total = len(sr.result_items)
                 resp.results.append(sr)
             perf.perf("pack")
