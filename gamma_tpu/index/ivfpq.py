@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,26 +76,6 @@ def _valid_set(valid, vids, value):
 
 
 @jax.jit
-def _ingest_commit(state, recon, recon_norms, recon_valid, recon_bias,
-                   idxs, codes, new_lens, rows, row_norms):
-    """ONE dispatch for the whole ingest commit: posting-list append +
-    reconstruction-mirror scatter + validity + fused norms+validity bias
-    (the fast dense path's single broadcast operand).  The add path is
-    dominated by per-dispatch host/tunnel latency under concurrent
-    search, so the fewer device round trips the better."""
-    list_ids, positions, vids, docids = (idxs[0], idxs[1], idxs[2],
-                                         idxs[3])
-    state = rt.append(state, list_ids, positions, codes, vids, docids,
-                      new_lens)
-    vids_s = jnp.where(vids < 0, 0x40000000, vids)
-    recon = recon.at[vids_s].set(rows, mode="drop")
-    recon_norms = recon_norms.at[vids_s].set(row_norms, mode="drop")
-    recon_valid = recon_valid.at[vids_s].set(0.0, mode="drop")
-    recon_bias = recon_bias.at[vids_s].set(row_norms, mode="drop")
-    return state, recon, recon_norms, recon_valid, recon_bias
-
-
-@jax.jit
 def _recon_commit(recon, recon_norms, recon_valid, recon_bias,
                   vids, rows, row_norms):
     """Mirror-only half of the ingest commit (big-corpus path): with
@@ -119,11 +99,60 @@ def _recon_commit(recon, recon_norms, recon_valid, recon_bias,
 SPLIT_COMMIT_BYTES = 1 << 30
 
 
+@functools.partial(jax.jit, static_argnames=("nlist",))
+def _place_batch(lens, assign, vids, *, nlist: int):
+    """Device-side slot placement (the TPU re-derivation of
+    HostPlacer.place / the reference's atomic retrieve_idx_pos_ cursor
+    bump, realtime_mem_data.cc:279-302): sort the batch by list, rank
+    within equal-list runs, offset by the CURRENT device lens.  Because
+    lens live in device state and the batch is placed on device, the
+    ingest path needs NO assignment readback and NO host placement —
+    the old path cost 3-4 tunnel round trips per chunk.
+
+    Padding rows (vids < 0) place into list `nlist` (out-of-bounds →
+    dropped by the commit scatters) and do not count toward lens.
+    → (positions [n_pad] i32, new_lens [nlist] i32, need scalar i32)."""
+    n = assign.shape[0]
+    li = jnp.where(vids < 0, nlist, assign).astype(jnp.int32)
+    lens_ext = jnp.concatenate([lens, jnp.zeros((1,), lens.dtype)])
+    order = jnp.argsort(li, stable=True)
+    sl = li[order]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sl[1:] != sl[:-1]])
+    run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    ranks = idx - run_start
+    pos_sorted = lens_ext[sl] + ranks
+    positions = jnp.zeros((n,), jnp.int32).at[order].set(pos_sorted)
+    counts = jnp.zeros((nlist,), lens.dtype).at[
+        jnp.minimum(li, nlist - 1)].add(
+        jnp.where(li < nlist, 1, 0).astype(lens.dtype))
+    new_lens = lens + counts
+    return positions, new_lens, jnp.max(new_lens)
+
+
 @jax.jit
-def _ingest_commit_norecon(state, idxs, codes, new_lens):
-    list_ids, positions, vids, docids = (idxs[0], idxs[1], idxs[2],
-                                         idxs[3])
-    return rt.append(state, list_ids, positions, codes, vids, docids,
+def _commit_placed(state, recon, recon_norms, recon_valid, recon_bias,
+                   assign, positions, codes, vids, docids, new_lens,
+                   rows, row_norms):
+    """Fused commit for device-placed batches: posting append + mirror
+    scatter in one dispatch (small-mirror path)."""
+    li = jnp.where(vids < 0, 0x40000000, assign)
+    state = rt.append(state, li, positions, codes, vids, docids,
+                      new_lens)
+    vids_s = jnp.where(vids < 0, 0x40000000, vids)
+    recon = recon.at[vids_s].set(rows, mode="drop")
+    recon_norms = recon_norms.at[vids_s].set(row_norms, mode="drop")
+    recon_valid = recon_valid.at[vids_s].set(0.0, mode="drop")
+    recon_bias = recon_bias.at[vids_s].set(row_norms, mode="drop")
+    return state, recon, recon_norms, recon_valid, recon_bias
+
+
+@jax.jit
+def _append_placed(state, assign, positions, codes, vids, docids,
+                   new_lens):
+    li = jnp.where(vids < 0, 0x40000000, assign)
+    return rt.append(state, li, positions, codes, vids, docids,
                      new_lens)
 
 
@@ -203,6 +232,7 @@ class IVFPQIndex(RetrievalModel):
         # stay the only HBM-resident per-vector state and the exact rerank
         # reads candidates through from the host store
         self.keep_recon = raw_store.tier != "disk"
+        self._pending_place: List[Tuple] = []
         rows0 = RECON_ROW_PAD if self.keep_recon else 8
         self.recon = jnp.zeros((rows0, self.d), self.recon_dtype)
         self.recon_norms = jnp.zeros((rows0,), jnp.float32)
@@ -284,6 +314,36 @@ class IVFPQIndex(RetrievalModel):
             return (x.astype(jnp.float32) @ self.opq_rot)
         return x
 
+    def _pad_batch(self, x) -> jnp.ndarray:
+        """Pad a host or device batch to the shape quantum (bounds the
+        number of distinct compiled shapes)."""
+        n = x.shape[0]
+        n_pad = _pad_quantum(n)
+        if isinstance(x, jnp.ndarray):
+            return (jnp.pad(x, ((0, n_pad - n), (0, 0)))
+                    if n_pad != n else x)
+        xp_np = np.zeros((n_pad, self.d), np.float32)
+        xp_np[:n] = x
+        return jnp.asarray(xp_np)
+
+    def _encode_core(self, xp: jnp.ndarray):
+        """Model-specific encode jit over a PADDED device batch.
+        Subclasses (FastScan, ScaNN) override just this."""
+        return _encode_full(
+            xp, self.centroids, self.cent_norms,
+            self.pq.codebooks, self.pq.cb_norms,
+            self.opq_rot if self.opq_rot is not None
+            else jnp.zeros((0, 0), jnp.float32),
+            d=self.d, has_rot=self.opq_rot is not None,
+            recon_dtype=self.recon_dtype)
+
+    def _encode_device(self, x):
+        """Encode with all outputs left ON DEVICE (the ingest fast path
+        never reads the assignment back to host).
+        → (assign [n_pad] i32, codes [n_pad, M] u8, recon [n_pad, d],
+           recon_norms [n_pad] f32)."""
+        return self._encode_core(self._pad_batch(x))
+
     def encode_batch(self, x: np.ndarray
                      ) -> Tuple[np.ndarray, jnp.ndarray, jnp.ndarray,
                                 jnp.ndarray]:
@@ -294,22 +354,8 @@ class IVFPQIndex(RetrievalModel):
         avoid re-uploading vectors over the host link.
         → (list_ids np [n], codes [n_pad, M] u8, recon bf16 [n_pad, d],
            recon_norms f32 [n_pad])."""
+        assign, codes, recon, rnorms = self._encode_device(x)
         n = x.shape[0]
-        n_pad = _pad_quantum(n)
-        if isinstance(x, jnp.ndarray):
-            xp = (jnp.pad(x, ((0, n_pad - n), (0, 0)))
-                  if n_pad != n else x)
-        else:
-            xp_np = np.zeros((n_pad, self.d), np.float32)
-            xp_np[:n] = x
-            xp = jnp.asarray(xp_np)
-        assign, codes, recon, rnorms = _encode_full(
-            xp, self.centroids, self.cent_norms,
-            self.pq.codebooks, self.pq.cb_norms,
-            self.opq_rot if self.opq_rot is not None
-            else jnp.zeros((0, 0), jnp.float32),
-            d=self.d, has_rot=self.opq_rot is not None,
-            recon_dtype=self.recon_dtype)
         return np.asarray(assign)[:n], codes, recon, rnorms
 
     def _grow_recon(self, need_rows: int) -> None:
@@ -331,6 +377,15 @@ class IVFPQIndex(RetrievalModel):
 
     def add(self, x: np.ndarray, vids: np.ndarray,
             docids: np.ndarray) -> None:
+        """Device-resident ingest: encode → place → commit all run on
+        device, with the batch's slot assignment computed against the
+        LIVE device lens (_place_batch) — no assignment readback, no
+        host placement (the old path cost 3-4 tunnel round trips per
+        chunk).  The only host sync is the exact `need` scalar that
+        gates capacity growth (the reference's ExtendBucketMem decision,
+        realtime_mem_data.cc:152-188).  The host vid→(list,pos) map is
+        refreshed LAZILY from the retained device arrays the first time
+        delete/compact/status needs it (_drain_place)."""
         assert self._trained, "IVFPQ.add before train"
         import time as _time
         n = x.shape[0]
@@ -338,10 +393,21 @@ class IVFPQIndex(RetrievalModel):
             return
         _t = {}
         _t0 = _time.perf_counter()
-        list_ids, codes, recon, rnorms = self.encode_batch(x)
+        assign, codes, recon, rnorms = self._encode_device(x)
         _t["encode"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
-        need = self.placer.required_cap(list_ids)
+        n_pad = codes.shape[0]
+        idp = np.full((2, n_pad), -1, np.int64)
+        idp[0, :n] = vids
+        idp[1, :n] = docids
+        idp = idp.astype(np.int32)
+        idp_d = jnp.asarray(idp)
+        vids_d, docids_d = idp_d[0], idp_d[1]
+        _t["upload"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+        positions, new_lens, need_d = _place_batch(
+            self.state.lens, assign, vids_d, nlist=self.p.ncentroids)
+        need = int(need_d)          # the one host sync on the add path
         if need > self.state.cap:
             new_cap = self.state.cap
             while new_cap < need:
@@ -354,25 +420,11 @@ class IVFPQIndex(RetrievalModel):
                 logging.getLogger("gamma_tpu").warning(
                     "list capacity %d exceeds bucket_max_size %d",
                     new_cap, self.p.bucket_max_size)
+            # positions stay valid across growth: they depend on lens,
+            # not cap
             self.state = rt.grow(self.state, new_cap)
             self.placer.cap = new_cap
-        _t["grow_check"] = _time.perf_counter() - _t0
-        _t0 = _time.perf_counter()
-        positions, new_lens = self.placer.place(list_ids, vids)
         _t["place"] = _time.perf_counter() - _t0
-        _t0 = _time.perf_counter()
-        # pad host index arrays to the encode quantum and stack them into
-        # ONE upload; -1 rows are dropped by the scatters (mode="drop",
-        # after the wrap-guard remap inside the jit)
-        n_pad = codes.shape[0]
-        idxs = np.full((4, n_pad), -1, np.int32)
-        idxs[0, :n] = list_ids
-        idxs[1, :n] = positions
-        idxs[2, :n] = vids
-        idxs[3, :n] = docids
-        idxs_d = jnp.asarray(idxs)
-        lens_d = jnp.asarray(new_lens, jnp.int32)
-        _t["upload"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         if self.keep_recon:
             self._grow_recon(int(np.max(vids)) + 1)
@@ -382,29 +434,48 @@ class IVFPQIndex(RetrievalModel):
                 (self.recon, self.recon_norms, self.recon_valid,
                  self.recon_bias) = _recon_commit(
                     self.recon, self.recon_norms, self.recon_valid,
-                    self.recon_bias, idxs_d[2], recon, rnorms)
-                self.state = _ingest_commit_norecon(self.state, idxs_d,
-                                                    codes, lens_d)
+                    self.recon_bias, vids_d, recon, rnorms)
+                self.state = _append_placed(self.state, assign, positions,
+                                            codes, vids_d, docids_d,
+                                            new_lens)
             else:
                 (self.state, self.recon, self.recon_norms,
-                 self.recon_valid, self.recon_bias) = _ingest_commit(
+                 self.recon_valid, self.recon_bias) = _commit_placed(
                     self.state, self.recon, self.recon_norms,
-                    self.recon_valid, self.recon_bias, idxs_d, codes,
-                    lens_d, recon, rnorms)
+                    self.recon_valid, self.recon_bias, assign, positions,
+                    codes, vids_d, docids_d, new_lens, recon, rnorms)
         else:
-            self.state = _ingest_commit_norecon(self.state, idxs_d,
-                                                codes, lens_d)
+            self.state = _append_placed(self.state, assign, positions,
+                                        codes, vids_d, docids_d, new_lens)
         _t["commit"] = _time.perf_counter() - _t0
         self.last_add_timings = _t
+        # host placer map refreshed lazily: retain the device assignment
+        # until something (delete/compact/dump) needs host (list, pos)
+        self._pending_place.append(
+            (np.asarray(vids, dtype=np.int64).copy(), n, assign,
+             positions))
         # watermark = highest vid pumped + 1; update re-adds of old vids
         # must not inflate it past fresh rows (pump skips them otherwise)
         self.indexed_count = max(self.indexed_count,
                                  int(np.max(vids)) + 1)
 
+    def _drain_place(self) -> None:
+        """Materialize pending device placements into the host placer
+        (ordered; one readback per pending batch, amortized across all
+        the adds since the last drain)."""
+        if not self._pending_place:
+            return
+        pend, self._pending_place = self._pending_place, []
+        for vids_h, n, assign_d, pos_d in pend:
+            li = np.asarray(assign_d)[:n].astype(np.int32)
+            ps = np.asarray(pos_d)[:n].astype(np.int32)
+            self.placer.register(li, ps, vids_h)
+
     def delete(self, vids: np.ndarray) -> None:
         vids = np.asarray(vids, dtype=np.int64)
         if vids.size == 0:
             return
+        self._drain_place()          # host map must cover pending adds
         ls, ps = self.placer.locate(vids)
         live = ls >= 0
         if live.any():
@@ -421,6 +492,7 @@ class IVFPQIndex(RetrievalModel):
     def compact(self, threshold: float = 0.3) -> None:
         """Reclaim tombstoned slots when ≥30% dead (reference policy:
         realtime_mem_data.cc:373-377)."""
+        self._drain_place()
         if self.placer.deleted_fraction() < threshold:
             return
         self.state = rt.compact_state(self.state)
@@ -612,6 +684,7 @@ class IVFPQIndex(RetrievalModel):
         self.placer = rt.HostPlacer(self.state.nlist, self.state.cap)
         self.placer.resync_after_compact(
             z["docids"], z["vids"], z["lens"])
+        self._pending_place = []     # pre-load placements are stale
         self.indexed_count = int(z["indexed_count"])
         self._trained = True
         self._rebuild_recon()

@@ -112,25 +112,14 @@ class IVFPQFastScanIndex(IVFPQIndex):
 
     # ---- ingest ----
 
-    def encode_batch(self, x):
-        from gamma_tpu.index.ivfpq import _pad_quantum
-        n = x.shape[0]
-        n_pad = _pad_quantum(n)
-        if isinstance(x, jnp.ndarray):
-            xp = (jnp.pad(x, ((0, n_pad - n), (0, 0)))
-                  if n_pad != n else x)
-        else:
-            xp_np = np.zeros((n_pad, self.d), np.float32)
-            xp_np[:n] = x
-            xp = jnp.asarray(xp_np)
-        assign, packed, recon, rnorms = _encode_fastscan(
+    def _encode_core(self, xp):
+        return _encode_fastscan(
             xp, self.centroids, self.cent_norms,
             self.pq.codebooks, self.pq.cb_norms,
             self.opq_rot if self.opq_rot is not None
             else jnp.zeros((0, 0), jnp.float32),
             d=self.d, has_rot=self.opq_rot is not None,
             recon_dtype=self.recon_dtype)
-        return np.asarray(assign)[:n], packed, recon, rnorms
 
     # ---- search ----
 

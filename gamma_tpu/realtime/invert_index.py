@@ -197,6 +197,19 @@ class HostPlacer:
             self._vid_pos[vids] = positions
         return positions.astype(np.int32), self.lens.copy()
 
+    def register(self, list_ids: np.ndarray, positions: np.ndarray,
+                 vids: np.ndarray) -> None:
+        """Record placements computed ON DEVICE (_place_batch): update
+        lens and the vid map without re-deriving positions.  Batches
+        must be registered in add order."""
+        list_ids = np.asarray(list_ids, dtype=np.int32)
+        vids = np.asarray(vids, dtype=np.int64)
+        np.add.at(self.lens, list_ids, 1)
+        if vids.size:
+            self._ensure_vid(int(vids.max()))
+            self._vid_list[vids] = list_ids
+            self._vid_pos[vids] = np.asarray(positions, dtype=np.int32)
+
     def locate(self, vids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         vids = np.asarray(vids, dtype=np.int64)
         self._ensure_vid(int(vids.max(initial=0)))

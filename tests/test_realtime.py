@@ -110,3 +110,39 @@ def test_padded_append_does_not_corrupt_last_list():
     # tombstone with -1 filler must also be inert
     st3 = rt.tombstone(st2, pad, pad)
     assert int(st3.vids[3, 0]) == 42
+
+
+def test_device_placement_matches_host_placer(rng):
+    """_place_batch (device-side slot assignment) must agree with
+    HostPlacer.place on lens/need and produce a collision-free, dense
+    placement starting at the prior lens."""
+    import jax.numpy as jnp
+    from gamma_tpu.index.ivfpq import _place_batch
+    from gamma_tpu.realtime.invert_index import HostPlacer
+
+    nlist = 16
+    placer = HostPlacer(nlist, cap=64)
+    lens0 = rng.integers(0, 5, nlist).astype(np.int32)
+    placer.lens = lens0.copy()
+    n, n_pad = 100, 128
+    list_ids = rng.integers(0, nlist, n).astype(np.int32)
+    vids = np.arange(n, dtype=np.int64)
+    # host reference
+    pos_h, lens_h = placer.place(list_ids, vids)
+    # device: padded batch, pads marked vid=-1
+    assign = np.zeros(n_pad, np.int32)
+    assign[:n] = list_ids
+    vp = np.full(n_pad, -1, np.int32)
+    vp[:n] = vids
+    pos_d, lens_d, need_d = _place_batch(
+        jnp.asarray(lens0), jnp.asarray(assign), jnp.asarray(vp),
+        nlist=nlist)
+    pos_d = np.asarray(pos_d)[:n]
+    np.testing.assert_array_equal(np.asarray(lens_d), lens_h)
+    assert int(need_d) == int(lens_h.max())
+    # same multiset of slots per list, no collisions, dense from lens0
+    for l in range(nlist):
+        got = sorted(pos_d[list_ids == l].tolist())
+        want = sorted(pos_h[list_ids == l].tolist())
+        assert got == want == list(
+            range(lens0[l], lens0[l] + len(got)))
