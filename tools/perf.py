@@ -133,6 +133,14 @@ def main():
 
     # optional caller-thread sweep (concurrent-request path)
     if args.threads:
+        # warm every pow2 coalesced-batch shape the aggregator can form
+        # from <= args.threads single-query requests: each fresh shape is
+        # a fresh XLA compile (minutes through a remote-compile tunnel),
+        # and a cold shape mid-measurement once read as a 2.9 s tp99
+        b = 1
+        while b <= args.threads:
+            eng.search(make_req(queries[:b]))
+            b *= 2
         lats, lock = [], threading.Lock()
 
         def worker(tid):
