@@ -69,8 +69,8 @@ for s in range(0, n, 65536):
                           vids_d, padded(ids[s:e]), jnp.asarray(new_lens, jnp.int32))
     idx._grow_recon(e)
     from gamma_tpu.index.ivfpq import _recon_append, _valid_set
-    idx.recon, idx.recon_norms = _recon_append(idx.recon, idx.recon_norms,
-                                               vids_d, recon, rnorms)
+    idx.recon, idx.recon_norms, idx.recon_bias = _recon_append(
+        idx.recon, idx.recon_norms, idx.recon_bias, vids_d, recon, rnorms)
     idx.recon_valid = _valid_set(idx.recon_valid, vids_d, 0.0)
     jax.block_until_ready(idx.state.lens)
     t_app += time.time() - t3

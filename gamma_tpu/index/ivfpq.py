@@ -450,10 +450,20 @@ class IVFPQIndex(RetrievalModel):
         _t["commit"] = _time.perf_counter() - _t0
         self.last_add_timings = _t
         # host placer map refreshed lazily: retain the device assignment
-        # until something (delete/compact/dump) needs host (list, pos)
+        # until something (delete/compact/dump) needs host (list, pos).
+        # Start the host copies NOW (non-blocking) so the eventual drain
+        # pays no per-batch round trip, and bound the retained batches
+        # (add-only workloads would otherwise accumulate forever).
+        try:
+            assign.copy_to_host_async()
+            positions.copy_to_host_async()
+        except AttributeError:      # non-jax arrays in tests
+            pass
         self._pending_place.append(
             (np.asarray(vids, dtype=np.int64).copy(), n, assign,
              positions))
+        if len(self._pending_place) >= 512:
+            self._drain_place()
         # watermark = highest vid pumped + 1; update re-adds of old vids
         # must not inflate it past fresh rows (pump skips them otherwise)
         self.indexed_count = max(self.indexed_count,

@@ -25,8 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gamma_tpu.index.ivfpq import (IVFPQIndex, _assign_chunked,
-                                   _pad_quantum)
+from gamma_tpu.index.ivfpq import IVFPQIndex, _assign_chunked
 from gamma_tpu.index.registry import register_model
 from gamma_tpu.ops import avq, kmeans as km, pq as pq_ops
 from gamma_tpu.ops.distances import l2_norms

@@ -100,9 +100,14 @@ def dense_scan_search_fast(recon: jnp.ndarray,   # [N_cap, d] bf16
         qf = queries.astype(jnp.float32)
         qn = jnp.sum(qf * qf, axis=-1, keepdims=True)
         rd = rd + qn
-    # live watermark applied POST-selection (keeps the scan fused; rows
-    # past the watermark cannot be in the mirror on the engine path, so
-    # this is defense-in-depth matching the gather path's semantics)
+    # live watermark applied POST-selection (keeps the scan fused).  On
+    # the engine path rows past the watermark are rows the pump indexed
+    # AFTER this request snapshotted validity_n — fully committed docs
+    # (the reference would return them), so masking them here is a
+    # snapshot-semantics choice and they can only crowd the recall_num
+    # candidate pool during that one-flush lag window.  A standalone
+    # caller passing a watermark far below the indexed count can see
+    # fewer than k results — use the penalty path for that.
     rd = jnp.where(rvid >= live_n, BIG, rd)
     if not rerank:
         return rd[:, :k], jnp.where(rd[:, :k] >= BIG, -1, rvid[:, :k])
