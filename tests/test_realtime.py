@@ -146,3 +146,47 @@ def test_device_placement_matches_host_placer(rng):
         want = sorted(pos_h[list_ids == l].tolist())
         assert got == want == list(
             range(lens0[l], lens0[l] + len(got)))
+
+
+def test_lazy_drain_register_ordering(rng):
+    """Adds retain device placements; delete() after many chunks drains
+    them in order and the host placer must then agree with device state
+    (lens, vid->(list,pos)), including the forced drain threshold."""
+    import jax.numpy as jnp
+    from gamma_tpu.index.ivfpq import IVFPQIndex
+    from gamma_tpu.vector.raw_store import RawVectorStore
+    from gamma_tpu.config import SearchParams
+
+    n, d = 4096, 32
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    store = RawVectorStore("v", d)
+    store.add(x)
+    store.flush_device()
+    idx = IVFPQIndex(store, {"ncentroids": 32, "nsubvector": 8})
+    idx.train(x)
+    ids = np.arange(n, dtype=np.int64)
+    for s in range(0, n, 512):             # 8 pending batches
+        idx.add(x[s:s + 512], ids[s:s + 512], ids[s:s + 512])
+    assert len(idx._pending_place) == 8
+    dele = np.array([7, 700, 3000])
+    idx.delete(dele)                       # forces the drain
+    assert len(idx._pending_place) == 0
+    # placer agrees with device state
+    np.testing.assert_array_equal(idx.placer.lens,
+                                  np.asarray(idx.state.lens))
+    vids_np = np.asarray(idx.state.vids)
+    ls, ps = idx.placer.locate(ids)
+    live = np.ones(n, bool)
+    live[dele] = False
+    assert (vids_np[ls[live], ps[live]] == ids[live]).all()
+    # tombstoned rows are dead on device
+    assert (vids_np[ls[dele], ps[dele]] == -1).all()
+    # and deleted docs don't come back from search
+    sp = SearchParams.from_dict({"scan_mode": "dense",
+                                 "recall_num": 64})
+    _, docs, _ = idx.search(jnp.asarray(x[dele]),
+                            jnp.asarray(np.zeros(n + 64, np.float32)),
+                            sp, 10, validity_n=n)
+    got = np.asarray(docs)
+    for v in dele:
+        assert v not in got
