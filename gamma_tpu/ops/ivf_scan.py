@@ -152,27 +152,40 @@ def ivfpq_search(state: IVFState,
     docids_g = jnp.take(state.docids, list_ids, axis=0)
     lens_g = jnp.take(state.lens, list_ids, axis=0)
 
-    if metric == "ip":
-        # score = q.c + q.decode(residual code); dist = -score
-        lut = -pq_ops.ip_lut(codebooks, queries)          # [B, M, ksub]
-        lut = jnp.broadcast_to(lut[:, None], (lut.shape[0], nprobe) +
-                               lut.shape[1:])
-        base = cd[..., None]                              # -q.c
+    m = state.codes.shape[-1]
+    ksub = codebooks.codebooks.shape[1]
+    if scan_impl == "pallas" and (m * ksub) % 128 == 0:
+        # grouped MXU kernel (ops/pallas_gadc.py): queries probing the
+        # same list share one in-VMEM code expansion, the per-(query,
+        # list) residual LUT is built in-kernel, and the accumulation is
+        # a matmul — nothing per-(query, probe) materializes in HBM.
+        # Full distance = coarse + adc for both metrics.
+        from gamma_tpu.ops.pallas_gadc import grouped_adc
+        adc = grouped_adc(state.codes, state.lens, list_ids, queries,
+                          centroids, codebooks, metric=metric)
+        raw_dist = adc + cd[..., None]
     else:
-        probed_cents = jnp.take(centroids, list_ids, axis=0)   # [B, P, d]
-        residual = queries.astype(jnp.float32)[:, None, :] - probed_cents
-        lut = pq_ops.l2_lut(codebooks, residual)          # [B, P, M, ksub]
-        base = 0.0
-
-    if scan_impl == "pallas":
-        # the kernel indexes the probed lists itself via scalar prefetch —
-        # no [B, P, cap, M] code gather materializes in HBM
-        from gamma_tpu.ops.pallas_adc import adc_scan_pallas
-        adc = adc_scan_pallas(state.codes, list_ids, lut)
-    else:
-        codes_g = jnp.take(state.codes, list_ids, axis=0)
-        adc = pq_ops.adc_scan(lut, codes_g)               # [B, P, cap]
-    raw_dist = adc + base
+        if metric == "ip":
+            # score = q.c + q.decode(residual code); dist = -score
+            lut = -pq_ops.ip_lut(codebooks, queries)      # [B, M, ksub]
+            lut = jnp.broadcast_to(lut[:, None], (lut.shape[0], nprobe) +
+                                   lut.shape[1:])
+            base = cd[..., None]                          # -q.c
+        else:
+            probed_cents = jnp.take(centroids, list_ids, axis=0)  # [B,P,d]
+            residual = (queries.astype(jnp.float32)[:, None, :]
+                        - probed_cents)
+            lut = pq_ops.l2_lut(codebooks, residual)      # [B, P, M, ksub]
+            base = 0.0
+        if scan_impl == "pallas":
+            # per-(query, probe) VPU kernel — only reached when M·ksub is
+            # not lane-aligned for the grouped kernel
+            from gamma_tpu.ops.pallas_adc import adc_scan_pallas
+            adc = adc_scan_pallas(state.codes, list_ids, lut)
+        else:
+            codes_g = jnp.take(state.codes, list_ids, axis=0)
+            adc = pq_ops.adc_scan(lut, codes_g)           # [B, P, cap]
+        raw_dist = adc + base
     mask = (_candidate_mask_validity(docids_g, lens_g, state.cap, live_n)
             if live_n is not None else
             _candidate_mask_penalty(docids_g, lens_g, state.cap, penalty))
@@ -204,7 +217,7 @@ def topk_like(rd, rdoc, rvid, k):
 @functools.partial(
     jax.jit,
     static_argnames=("nprobe", "recall_num", "k", "metric", "rerank",
-                     "scan_impl"))
+                     "scan_impl", "by_residual"))
 def ivfpqfs_search(state: IVFState,           # codes packed [nlist,cap,M/2]
                    centroids: jnp.ndarray,
                    cent_norms: jnp.ndarray,
@@ -217,29 +230,52 @@ def ivfpqfs_search(state: IVFState,           # codes packed [nlist,cap,M/2]
                    live_n: Optional[jnp.ndarray] = None,     # scalar i32
                    *, nprobe: int, recall_num: int, k: int,
                    metric: str = "l2", rerank: bool = True,
-                   scan_impl: str = "xla"):
-    """FastScan search: 4-bit PQ over the RAW rotated vector
-    (by_residual=false, reference gamma_index_ivfpqfs.cc:146), so the ADC
-    LUT is per QUERY, not per (query, probe).  Same fused mask / score
-    range / recall heap / exact-rerank contract as ivfpq_search."""
+                   scan_impl: str = "xla", by_residual: bool = True):
+    """FastScan search: 4-bit PQ with packed codes.
+
+    by_residual=False is the reference's layout (4-bit PQ of the RAW
+    rotated vector, gamma_index_ivfpqfs.cc:146 — the AVX2 shuffle wants
+    one LUT per query).  by_residual=True (our default) quantizes the
+    residual like 8-bit IVFPQ: the grouped kernel builds the per-(query,
+    probed-list) LUT in-kernel from the residuals, so the reference's
+    reason to drop the residual does not apply on TPU and the recall
+    penalty of by_residual=false at nlist≈2k goes away.  Same fused
+    mask / score range / recall heap / exact-rerank contract as
+    ivfpq_search."""
     cd, list_ids = coarse_assign(queries, centroids, cent_norms,
                                  nprobe, metric)
     vids_g = jnp.take(state.vids, list_ids, axis=0)       # [B, P, cap]
     docids_g = jnp.take(state.docids, list_ids, axis=0)
     lens_g = jnp.take(state.lens, list_ids, axis=0)
 
-    if metric == "ip":
-        lut = -pq_ops.ip_lut(codebooks, queries)          # [B, M, 16]
-    else:
-        lut = pq_ops.l2_lut(codebooks, queries)           # [B, M, 16]
-
     if scan_impl == "pallas":
-        from gamma_tpu.ops.pallas_adc import adc_scan_pallas_fs
-        raw_dist = adc_scan_pallas_fs(state.codes, list_ids, lut)
+        from gamma_tpu.ops.pallas_gadc import grouped_adc
+        adc = grouped_adc(state.codes, state.lens, list_ids, queries,
+                          centroids, codebooks, metric=metric,
+                          packed=True, residual=by_residual)
+        if metric == "ip":
+            raw_dist = adc + (cd[..., None] if by_residual else 0.0)
+        elif by_residual:
+            raw_dist = adc + cd[..., None]
+        else:
+            qn = l2_norms(queries.astype(jnp.float32))
+            raw_dist = adc + qn[:, None, None]
     else:
         from gamma_tpu.ops.pallas_adc import unpack_nibbles
         codes_g = unpack_nibbles(jnp.take(state.codes, list_ids, axis=0))
-        raw_dist = pq_ops.adc_scan(lut[:, None], codes_g)  # [B, P, cap]
+        if metric == "ip":
+            lut = -pq_ops.ip_lut(codebooks, queries)      # [B, M, 16]
+            raw_dist = pq_ops.adc_scan(lut[:, None], codes_g)
+            if by_residual:
+                raw_dist = raw_dist + cd[..., None]       # -q·c term
+        elif by_residual:
+            probed = jnp.take(centroids, list_ids, axis=0)     # [B, P, d]
+            residual = queries.astype(jnp.float32)[:, None, :] - probed
+            lut = pq_ops.l2_lut(codebooks, residual)      # [B, P, M, 16]
+            raw_dist = pq_ops.adc_scan(lut, codes_g)
+        else:
+            lut = pq_ops.l2_lut(codebooks, queries)       # [B, M, 16]
+            raw_dist = pq_ops.adc_scan(lut[:, None], codes_g)
     mask = (_candidate_mask_validity(docids_g, lens_g, state.cap, live_n)
             if live_n is not None else
             _candidate_mask_penalty(docids_g, lens_g, state.cap, penalty))

@@ -151,7 +151,7 @@ def _local_ivfpq_search(codes, vids, docids, lens, cents_l, cnorms_l,
                         cb, cb_norms, queries, penalty, raw_l,
                         queries_raw,
                         *, nprobe, local_probe, recall_num, k, metric,
-                        rerank, v_per_shard):
+                        rerank, v_per_shard, scan_impl="xla"):
     codebooks = pq_ops.PQCodebooks(cb, cb_norms)
     l_loc = cents_l.shape[0]
     cap = codes.shape[1]
@@ -176,22 +176,33 @@ def _local_ivfpq_search(codes, vids, docids, lens, cents_l, cnorms_l,
     sel_ids = lids[:, :p_loc]
     sel_ok = sel_d <= thr[:, None]
 
-    # 3. gather + ADC scan of the selected local lists
-    codes_g = jnp.take(codes, sel_ids, axis=0)       # [B, P, cap, W]
+    # 3. ADC scan of the selected local lists
     vids_g = jnp.take(vids, sel_ids, axis=0)
     docids_g = jnp.take(docids, sel_ids, axis=0)
     lens_g = jnp.take(lens, sel_ids, axis=0)
-    if metric == "ip":
-        lut = -pq_ops.ip_lut(codebooks, queries)     # [B, M, ksub]
-        lut = jnp.broadcast_to(lut[:, None],
-                               (lut.shape[0], p_loc) + lut.shape[1:])
-        base = sel_d[..., None]                      # -q.c per probe
+    if scan_impl == "pallas":
+        # grouped MXU kernel (ops/pallas_gadc.py): pallas_call runs
+        # per-shard inside shard_map over the LOCAL codes/centroids; the
+        # full distance is local-coarse + adc for both metrics.  This
+        # replaces the take_along_axis scan the repo measured at
+        # 3.5-5.7 s/batch on TPU (docs/perf notes, round 2).
+        from gamma_tpu.ops.pallas_gadc import grouped_adc
+        adc = grouped_adc(codes, lens, sel_ids, queries, cents_l,
+                          codebooks, metric=metric)
+        dist = adc + sel_d[..., None]
     else:
-        probed = jnp.take(cents_l, sel_ids, axis=0)  # [B, P, d]
-        residual = queries.astype(jnp.float32)[:, None, :] - probed
-        lut = pq_ops.l2_lut(codebooks, residual)
-        base = 0.0
-    dist = pq_ops.adc_scan(lut, codes_g) + base
+        codes_g = jnp.take(codes, sel_ids, axis=0)   # [B, P, cap, W]
+        if metric == "ip":
+            lut = -pq_ops.ip_lut(codebooks, queries)     # [B, M, ksub]
+            lut = jnp.broadcast_to(lut[:, None],
+                                   (lut.shape[0], p_loc) + lut.shape[1:])
+            base = sel_d[..., None]                      # -q.c per probe
+        else:
+            probed = jnp.take(cents_l, sel_ids, axis=0)  # [B, P, d]
+            residual = queries.astype(jnp.float32)[:, None, :] - probed
+            lut = pq_ops.l2_lut(codebooks, residual)
+            base = 0.0
+        dist = pq_ops.adc_scan(lut, codes_g) + base
     dist = dist + _candidate_mask_penalty(docids_g, lens_g, cap, penalty)
     dist = dist + jnp.where(sel_ok, 0.0, BIG)[..., None]
     dist = jnp.minimum(dist, BIG)
@@ -239,7 +250,8 @@ def sharded_ivfpq_search_fn(mesh: Mesh, *, nprobe: int, recall_num: int,
                             k: int, metric: str = "l2",
                             rerank: bool = True,
                             local_probe: Optional[int] = None,
-                            v_per_shard: int):
+                            v_per_shard: int,
+                            scan_impl: Optional[str] = None):
     """Build the jitted sharded search step for a fixed geometry.
 
     Returned fn: (sharded: ShardedIVFPQ, queries [B, d], penalty [N_cap])
@@ -250,11 +262,15 @@ def sharded_ivfpq_search_fn(mesh: Mesh, *, nprobe: int, recall_num: int,
     s = mesh.shape[LIST_AXIS]
     if local_probe is None:
         local_probe = min(nprobe, 2 * (-(-nprobe // s)) + 2)
+    if scan_impl is None:
+        # the grouped MXU kernel on real TPUs; portable XLA elsewhere
+        scan_impl = ("pallas" if mesh.devices.flat[0].platform == "tpu"
+                     else "xla")
 
     body = functools.partial(
         _local_ivfpq_search, nprobe=nprobe, local_probe=local_probe,
         recall_num=recall_num, k=k, metric=metric, rerank=rerank,
-        v_per_shard=v_per_shard)
+        v_per_shard=v_per_shard, scan_impl=scan_impl)
 
     lists3 = P(LIST_AXIS, None, None)
     lists2 = P(LIST_AXIS, None)
