@@ -3,11 +3,17 @@
 Reference: index/impl/gamma_index_ivfpqfs.{h,cc} — faiss IndexIVFPQFastScan
 under the gamma realtime layer.  Capability contract kept:
   * nbits_per_idx is forced to 4 (ivfpqfs.cc:209 "only support 4 now");
-  * codes quantize the RAW rotated vector, not the residual
-    (by_residual=false, ivfpqfs.cc:146), so the ADC LUT is per query;
   * codes are packed two-per-byte (BlockInvertedLists stores bbs*M2/2
     bytes per block, ivfpqfs.cc:149) — posting payload is M/2 bytes;
   * same realtime add/update/delete/compact + dump/load surface.
+
+Documented deviation: the reference forces by_residual=false
+(ivfpqfs.cc:146) because its AVX2 shuffle wants ONE 16-entry LUT per
+query; that costs ~2 recall points at nlist≈2k.  Here by_residual
+defaults to TRUE — the grouped MXU kernel (ops/pallas_gadc.py) builds
+the per-(query, probed-list) residual LUT in-kernel from the grouped
+residuals, so residual coding is free on TPU.  Set params
+{"by_residual": false} for the reference layout.
 
 TPU-first substitutions:
   * the reference's bbs=32 AVX2 register blocking (vpshufb over 16-entry
@@ -42,20 +48,29 @@ from gamma_tpu.ops.pallas_adc import unpack_nibbles
 from gamma_tpu.vector.raw_store import RawVectorStore
 
 
-@functools.partial(jax.jit, static_argnames=("d", "has_rot", "recon_dtype"))
+@functools.partial(jax.jit, static_argnames=("d", "has_rot", "recon_dtype",
+                                             "by_residual"))
 def _encode_fastscan(x, cents, cnorms, cb, cb_norms, rot, *, d, has_rot,
-                     recon_dtype=jnp.bfloat16):
-    """Fused ingest: rotate → coarse assign (placement only) → 4-bit PQ of
-    the raw rotated vector → pack nibbles → reconstruct for the dense
-    mirror.  by_residual=false (reference gamma_index_ivfpqfs.cc:146)."""
+                     recon_dtype=jnp.bfloat16, by_residual=True):
+    """Fused ingest: rotate → coarse assign → 4-bit PQ → pack nibbles →
+    reconstruct for the dense mirror.  by_residual=True quantizes the
+    residual (our default; the grouped TPU kernel builds residual LUTs
+    in-kernel for free); False keeps the reference's raw-vector layout
+    (gamma_index_ivfpqfs.cc:146)."""
     xf = x.astype(jnp.float32)
     if has_rot:
         xf = xf @ rot
     assign = _assign_chunked(xf, cents, cnorms, chunk=16384)
     pq = pq_ops.PQCodebooks(cb, cb_norms)
-    codes = pq_ops.encode_pq(pq, xf)                   # [n, M] values 0..15
+    if by_residual:
+        coarse = jnp.take(cents, assign, axis=0)
+        codes = pq_ops.encode_pq(pq, xf - coarse)      # [n, M] 0..15
+        recon = (coarse + pq_ops.decode_pq(pq, codes)[:, :d]
+                 ).astype(recon_dtype)
+    else:
+        codes = pq_ops.encode_pq(pq, xf)
+        recon = pq_ops.decode_pq(pq, codes)[:, :d].astype(recon_dtype)
     packed = (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(jnp.uint8)
-    recon = pq_ops.decode_pq(pq, codes)[:, :d].astype(recon_dtype)
     return (assign.astype(jnp.int32), packed, recon,
             l2_norms(recon.astype(jnp.float32)))
 
@@ -74,6 +89,11 @@ class IVFPQFastScanIndex(IVFPQIndex):
         if int(p["nsubvector"]) % 2:
             raise ValueError("IVFPQ_FASTSCAN requires even nsubvector "
                              "(codes pack two 4-bit entries per byte)")
+        # deviation from the reference's forced by_residual=false
+        # (ivfpqfs.cc:146): residual coding recovers ~2 recall points at
+        # nlist≈2k and costs nothing on TPU (per-(query,list) LUTs build
+        # in-kernel on the grouped MXU path)
+        self.by_residual = bool(p.get("by_residual", True))
         super().__init__(raw_store, p)
 
     def _code_width(self) -> int:
@@ -82,6 +102,11 @@ class IVFPQFastScanIndex(IVFPQIndex):
     # ---- training: PQ on the rotated vector, not the residual ----
 
     def train(self, x: np.ndarray) -> None:
+        if self.by_residual:
+            # residual 4-bit PQ trains exactly like 8-bit IVFPQ
+            # (nbits_per_idx=4 is already forced in params)
+            super().train(x)
+            return
         x = self.clamp_train_set(np.asarray(x, np.float32))
         xd = jnp.asarray(x)
         if self.p.has_opq:
@@ -119,7 +144,7 @@ class IVFPQFastScanIndex(IVFPQIndex):
             self.opq_rot if self.opq_rot is not None
             else jnp.zeros((0, 0), jnp.float32),
             d=self.d, has_rot=self.opq_rot is not None,
-            recon_dtype=self.recon_dtype)
+            recon_dtype=self.recon_dtype, by_residual=self.by_residual)
 
     # ---- search ----
 
@@ -139,7 +164,9 @@ class IVFPQFastScanIndex(IVFPQIndex):
                      else "xla")
         # _gather_exec routes the disk tier's rerank through the host
         # read-through path instead of the (absent) device mirror
-        return self._gather_exec(ivf_scan.ivfpqfs_search, q, queries,
+        fn = functools.partial(ivf_scan.ivfpqfs_search,
+                               by_residual=self.by_residual)
+        return self._gather_exec(fn, q, queries,
                                  penalty, sp, k, recall_num, metric,
                                  dist_range, nprobe, scan_impl,
                                  validity_n=validity_n)
@@ -147,25 +174,31 @@ class IVFPQFastScanIndex(IVFPQIndex):
     # ---- persistence ----
 
     def _rebuild_recon(self) -> None:
-        """Mirror rebuild from packed codes: decode(unpack(code)), no
-        coarse term (by_residual=false)."""
+        """Mirror rebuild from packed codes: decode(unpack(code)), plus
+        the coarse centroid when by_residual."""
+        if not self.keep_recon:
+            return
         vids_np = np.asarray(self.state.vids)
         codes_np = np.asarray(self.state.codes)
         nlist, cap = vids_np.shape
+        lists = np.repeat(np.arange(nlist, dtype=np.int32), cap)
         vflat = vids_np.reshape(-1)
         cflat = codes_np.reshape(-1, codes_np.shape[-1])
         live = vflat >= 0
         if not live.any():
             return
-        vflat, cflat = vflat[live], cflat[live]
+        lists, vflat, cflat = lists[live], vflat[live], cflat[live]
         self._grow_recon(int(vflat.max()) + 1)
         from gamma_tpu.index.ivfpq import _recon_append, _valid_set
         chunk = 262144
         for s in range(0, vflat.size, chunk):
             e = min(vflat.size, s + chunk)
             codes = unpack_nibbles(jnp.asarray(cflat[s:e]))
-            rec = pq_ops.decode_pq(self.pq, codes)[:, : self.d].astype(
-                self.recon_dtype)
+            rec = pq_ops.decode_pq(self.pq, codes)[:, : self.d]
+            if self.by_residual:
+                rec = rec + jnp.take(self.centroids,
+                                     jnp.asarray(lists[s:e]), axis=0)
+            rec = rec.astype(self.recon_dtype)
             vd = jnp.asarray(vflat[s:e], jnp.int32)
             self.recon, self.recon_norms, self.recon_bias = _recon_append(
                 self.recon, self.recon_norms, self.recon_bias, vd,
