@@ -76,17 +76,20 @@ def PrepareDocs(handle: int, docs_bytes: bytes) -> int:
     """Stage a parsed batch without ingesting (reference:
     gamma_api.h PrepareDocs — the Go layer splits parse from commit)."""
     _get(handle)
-    _pending_docs[handle] = wire.unpack_docs(docs_bytes)
+    docs = wire.unpack_docs(docs_bytes)
+    with _lock:           # staged-ingest calls may race on one handle
+        _pending_docs[handle] = docs
     return 0
 
 
 def AddOrUpdateDocsNum(handle: int, num: int) -> int:
     """Ingest the first `num` staged docs (reference:
     gamma_api.h AddOrUpdateDocsNum)."""
-    staged = _pending_docs.get(handle)
-    if staged is None:
-        return -1
-    take, _pending_docs[handle] = staged[:num], staged[num:]
+    with _lock:
+        staged = _pending_docs.get(handle)
+        if staged is None:
+            return -1
+        take, _pending_docs[handle] = staged[:num], staged[num:]
     codes = _get(handle).add_or_update_docs(take)
     return 0 if all(c == 0 for c in codes) else -1
 
@@ -94,7 +97,8 @@ def AddOrUpdateDocsNum(handle: int, num: int) -> int:
 def AddOrUpdateDocsFinish(handle: int) -> int:
     """Ingest any remaining staged docs and clear the staging buffer
     (reference: gamma_api.h AddOrUpdateDocsFinish)."""
-    staged = _pending_docs.pop(handle, None)
+    with _lock:
+        staged = _pending_docs.pop(handle, None)
     if staged is None:
         return -1
     if staged:

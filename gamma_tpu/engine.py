@@ -210,14 +210,26 @@ class GammaEngine:
         # drop the doc from its previous terms' postings)
         self.range_index.update_doc(docid, doc.fields)
         self.table.update(docid, doc.fields)
+        # attribute updates change which docs match range/term filters:
+        # bump the validity version so the batch aggregator never
+        # coalesces requests straddling this update onto one stale
+        # penalty snapshot
+        self._validity_version += 1
         for name, vecs in doc.vectors.items():
             store = self.vm.stores.get(name)
             if store is None:
                 continue
-            vid = store.vid_mgr.doc2vid(docid)
+            # update EVERY vid of the doc's field (reference re-adds all
+            # of a doc's vectors on update) — writing only rows[:1] left
+            # vectors 2..n stale in store, mirror, and index
+            vids = store.vid_mgr.doc_vids(docid)
             rows = np.asarray(vecs, np.float32).reshape(-1, store.d)
-            store.update(np.array([vid]), rows[:1])
-            self.vm.queue_update(name, vid, docid)
+            m = min(vids.size, rows.shape[0])
+            if m == 0:
+                continue
+            store.update(vids[:m], rows[:m])
+            for vid in vids[:m]:
+                self.vm.queue_update(name, int(vid), docid)
         if self.migrate is not None:
             self.migrate.update_doc(docid)
         return 0
@@ -239,8 +251,10 @@ class GammaEngine:
                 self._pending_dead.append(docid)
             field_vids = {}
             for name, store in self.vm.stores.items():
-                vid = store.vid_mgr.doc2vid(docid)
-                field_vids[name] = np.array([vid], dtype=np.int64)
+                # tombstone EVERY vid of the doc — the unfiltered
+                # validity scan path has no doc-space penalty to catch
+                # a deleted doc's 2nd..nth vectors otherwise
+                field_vids[name] = store.vid_mgr.doc_vids(docid)
             self.vm.delete(field_vids)
             self.range_index.delete_doc(docid)
             if self.migrate is not None:
@@ -574,8 +588,11 @@ class GammaEngine:
                 # no device mirror: stream the host corpus through the
                 # chip (reference: rocksdb_raw_vector.cc read-through)
                 from gamma_tpu.ops.flat_scan import flat_search_streaming
+                # the stream indexes rows by vid — map the doc-aligned
+                # penalty into row space first (multi-vid stores)
+                pen_rows = self._penalty_for_store(pen_doc, store)
                 dists, rows = flat_search_streaming(
-                    store.header(0, store.n), store.n, qd, pen_doc,
+                    store.header(0, store.n), store.n, qd, pen_rows,
                     dist_range, k=k, metric=metric)
             else:
                 pen_rows = self._penalty_for_store(pen_doc, store)

@@ -101,7 +101,13 @@ def flat_search_streaming(host, n, queries, pen_doc, dist_range=None,
     best_i = jnp.full((b, k), jnp.int32(-1))
     if n <= 0:
         return best_d, best_i
-    chunk = min(chunk, max(1024, n))
+    # quantize the compiled chunk shape to a fixed ladder: chunk = n
+    # exactly would force a fresh XLA compile per corpus size (the
+    # untrained disk-tier path searches after every add)
+    q = 1024
+    while q < n and q < chunk:
+        q *= 4
+    chunk = min(chunk, q)
     pen_np = np.asarray(pen_doc)
     for s in range(0, n, chunk):
         e = min(n, s + chunk)

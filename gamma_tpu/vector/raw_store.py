@@ -87,12 +87,26 @@ class VIDMgr:
             return docid
         return int(self._doc_first_vid[docid])
 
+    def doc_vids(self, docid: int) -> np.ndarray:
+        """ALL vids of a doc (store.add assigns a doc's vids contiguously,
+        so they are the run of _vid2doc == docid from the first vid)."""
+        if not self.multi:
+            return np.array([docid], dtype=np.int64)
+        first = int(self._doc_first_vid[docid])
+        if first < 0:
+            return np.zeros(0, dtype=np.int64)
+        end = first
+        while end < self._vid2doc.size and self._vid2doc[end] == docid:
+            end += 1
+        return np.arange(first, end, dtype=np.int64)
+
 
 class RawVectorStore:
     def __init__(self, name: str, dimension: int, *,
                  store_type: str = "MemoryOnly",
                  root_path: str = "",
                  device_dtype=jnp.bfloat16,
+                 host_dtype=np.float32,
                  init_cap: int = 8192,
                  multi_vids: bool = False,
                  compress_dumps: bool = False):
@@ -103,6 +117,12 @@ class RawVectorStore:
         self.store_type = store_type
         self.root_path = root_path
         self.device_dtype = device_dtype
+        # in-memory compression of the HOST store (reference: GammaZFP
+        # fixed-rate compression of stored vectors, vector/gamma_zfp.cc):
+        # float16 halves RAM/memmap footprint; reads upcast to f32 at the
+        # rerank so candidate ordering stays f32-exact over the stored
+        # (rounded) values
+        self.host_dtype = np.dtype(host_dtype)
         # zlib-compressed checkpoints (the reference's optional zstd/zfp
         # block compression, storage/compress/)
         self.compress_dumps = compress_dumps
@@ -127,7 +147,8 @@ class RawVectorStore:
         if self.tier == "disk":
             from gamma_tpu.utils.lru import BlockLRU
             self._row_cache = BlockLRU(
-                lambda s, e: self._host[s:e], row_bytes=4 * dimension,
+                lambda s, e: self._host[s:e],
+                row_bytes=self.host_dtype.itemsize * dimension,
                 capacity_bytes=64 << 20)
 
     # ---- incremental native persistence (reference: StorageManager +
@@ -185,8 +206,9 @@ class RawVectorStore:
             os.makedirs(self.root_path, exist_ok=True)
             path = os.path.join(self.root_path, f"{self.name}.vec")
             return np.lib.format.open_memmap(
-                path, mode="w+", dtype=np.float32, shape=(cap, self.d))
-        return np.zeros((cap, self.d), dtype=np.float32)
+                path, mode="w+", dtype=self.host_dtype,
+                shape=(cap, self.d))
+        return np.zeros((cap, self.d), dtype=self.host_dtype)
 
     def _grow_host(self, need: int) -> None:
         new_cap = self._host_cap
@@ -198,7 +220,7 @@ class RawVectorStore:
             path = os.path.join(self.root_path, f"{self.name}.vec")
             tmp = path + ".grow"
             fresh = np.lib.format.open_memmap(
-                tmp, mode="w+", dtype=np.float32,
+                tmp, mode="w+", dtype=self.host_dtype,
                 shape=(new_cap, self.d))
             fresh[: self.n] = self._host[: self.n]
             fresh.flush()
@@ -248,7 +270,8 @@ class RawVectorStore:
                                 jnp.float32))
 
     def get(self, vids: np.ndarray) -> np.ndarray:
-        return self._host[np.asarray(vids, dtype=np.int64)].copy()
+        return self._host[np.asarray(vids, dtype=np.int64)].astype(
+            np.float32)
 
     def get_padded(self, vids: np.ndarray) -> np.ndarray:
         """Gather rows by vid with negative/out-of-range ids clamped to a

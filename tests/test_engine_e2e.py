@@ -290,6 +290,69 @@ def test_multi_vectors_per_doc(tmp_path):
     eng.close()
 
 
+def test_multi_vector_update_rewrites_all_vids(tmp_path):
+    """Upserting a multi-vector doc must rewrite EVERY vid of the field
+    (reference re-adds all of a doc's vids on update) — searching near
+    vector #2's NEW value finds the doc; near its OLD value does not."""
+    rng = np.random.default_rng(29)
+    eng = make_engine(tmp_path, "FLAT")
+    x = corpus(rng, n=200)
+    old2 = rng.normal(size=DIM).astype(np.float32) * 0.1 + 3.0
+    new2 = rng.normal(size=DIM).astype(np.float32) * 0.1 - 3.0
+    docs = []
+    for i in range(200):
+        v2 = old2 if i == 7 else x[i] + 0.001
+        docs.append(Doc(key=f"key_{i}",
+                        fields={"url": "", "cid1": 0, "cid2": 0,
+                                "price": float(i), "tag": "t"},
+                        vectors={"vec": np.stack([x[i], v2])}))
+    assert all(c == 0 for c in eng.add_or_update_docs(docs))
+    eng.flush()
+    resp = eng.search(Request(topn=1,
+                              vec_fields=[VectorQuery("vec", old2)]))
+    assert resp.results[0].result_items[0].docid == 7
+    # upsert doc 7: vector #1 unchanged, vector #2 moved to new2
+    eng.add_or_update_doc(Doc(key="key_7",
+                              fields={"url": "", "cid1": 0, "cid2": 0,
+                                      "price": 7.0, "tag": "t"},
+                              vectors={"vec": np.stack([x[7], new2])}))
+    eng.flush()
+    resp = eng.search(Request(topn=1,
+                              vec_fields=[VectorQuery("vec", new2)]))
+    assert resp.results[0].result_items[0].docid == 7
+    resp = eng.search(Request(topn=1,
+                              vec_fields=[VectorQuery("vec", old2)]))
+    assert resp.results[0].result_items[0].docid != 7
+    # vector #1 still matches after the update
+    resp = eng.search(Request(topn=1,
+                              vec_fields=[VectorQuery("vec", x[7])]))
+    assert resp.results[0].result_items[0].docid == 7
+    eng.close()
+
+
+def test_multi_vector_delete_tombstones_all_vids(tmp_path):
+    """Deleting a multi-vector doc must drop ALL its vectors from
+    results, including on the unfiltered validity path."""
+    rng = np.random.default_rng(31)
+    eng = make_engine(tmp_path, "FLAT")
+    x = corpus(rng, n=100)
+    docs = []
+    for i in range(100):
+        docs.append(Doc(key=f"key_{i}",
+                        fields={"url": "", "cid1": 0, "cid2": 0,
+                                "price": float(i), "tag": "t"},
+                        vectors={"vec": np.stack([x[i], -x[i]])}))
+    assert all(c == 0 for c in eng.add_or_update_docs(docs))
+    eng.flush()
+    eng.delete("key_9")
+    eng.flush()
+    for qv in (x[9], -x[9]):
+        resp = eng.search(Request(topn=3,
+                                  vec_fields=[VectorQuery("vec", qv)]))
+        assert all(it.docid != 9 for it in resp.results[0].result_items)
+    eng.close()
+
+
 def test_device_dtype_store_param(tmp_path):
     """store_param device_dtype=float32 selects an f32 device mirror."""
     import jax.numpy as jnp
@@ -310,6 +373,38 @@ def test_device_dtype_store_param(tmp_path):
     resp = eng.search(Request(topn=1, vec_fields=[VectorQuery("vec",
                                                               x[3])]))
     assert resp.results[0].result_items[0].docid == 3
+    eng.close()
+
+
+def test_host_dtype_f16_compression_tier(tmp_path):
+    """store_param host_dtype=float16 halves the host store footprint
+    (reference GammaZFP in-memory compression analog) with search
+    results unchanged at test scale."""
+    import numpy as _np
+    from gamma_tpu.config import (DataType, EngineConfig, FieldInfo,
+                                  TableInfo, VectorInfo)
+    eng = GammaEngine(EngineConfig(path=str(tmp_path)))
+    eng.create_table(TableInfo(
+        name="f16", fields=[FieldInfo("p", DataType.FLOAT)],
+        vectors=[VectorInfo("vec", DIM,
+                            store_param={"host_dtype": "float16"})],
+        indexing_size=10_000, retrieval_types=["FLAT"],
+        retrieval_params=[{}]))
+    store = eng.vm.stores["vec"]
+    assert store.host_dtype == _np.float16
+    rng = np.random.default_rng(5)
+    x = corpus(rng, n=200)
+    add_docs(eng, x)
+    eng.flush()
+    resp = eng.search(Request(topn=1, vec_fields=[VectorQuery("vec",
+                                                              x[7])]))
+    assert resp.results[0].result_items[0].docid == 7
+    # the host tier really is half-width
+    assert store._host.dtype == _np.float16
+    # stored vector comes back as f32 (upcast on read)
+    got = store.get(np.array([7]))
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got[0], x[7], rtol=2e-3, atol=2e-3)
     eng.close()
 
 
