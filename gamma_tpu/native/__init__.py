@@ -53,6 +53,10 @@ def _load() -> Optional[ctypes.CDLL]:
         "gsm_update": ([vp, i64, ctypes.c_void_p], ctypes.c_int),
         "gsm_add_str": ([vp, c, i64], i64),
         "gsm_get_str": ([vp, i64, ctypes.c_char_p, i64], i64),
+        "gsm_get_strs": ([vp, ctypes.c_void_p, i64, ctypes.c_void_p,
+                          i64, ctypes.c_void_p], i64),
+        "gsm_add_strs": ([vp, ctypes.c_void_p, ctypes.c_void_p, i64,
+                          ctypes.c_void_p], ctypes.c_int),
         "gsm_sync": ([vp], ctypes.c_int),
         "gsm_truncate": ([vp, i64], ctypes.c_int),
         "gsm_close": ([vp], None),
@@ -141,6 +145,48 @@ class NativeStorage:
         buf = ctypes.create_string_buffer(int(n))
         self._lib.gsm_get_str(self._h, handle, buf, n)
         return buf.raw[:n]
+
+    def get_strs(self, handles: np.ndarray) -> list:
+        """Batch string read: ONE native crossing for a whole column
+        (per-row get_str costs a Python call per row — minutes at 10M)."""
+        handles = np.ascontiguousarray(handles, np.int64)
+        n = handles.size
+        if n == 0:
+            return []
+        lens = np.empty(n, np.int64)
+        cap = max(4096, 16 * n)
+        for _ in range(2):
+            out = np.empty(cap, np.uint8)
+            need = self._lib.gsm_get_strs(
+                self._h, handles.ctypes.data_as(ctypes.c_void_p), n,
+                out.ctypes.data_as(ctypes.c_void_p), cap,
+                lens.ctypes.data_as(ctypes.c_void_p))
+            if need <= cap:
+                break
+            cap = int(need)
+        ends = np.cumsum(np.maximum(lens, 0))
+        starts = ends - np.maximum(lens, 0)
+        blob = out.tobytes()
+        return [blob[starts[i]:ends[i]] if lens[i] >= 0 else b""
+                for i in range(n)]
+
+    def add_strs(self, strs: list) -> np.ndarray:
+        """Batch string append → int64 handles (one native crossing)."""
+        n = len(strs)
+        if n == 0:
+            return np.empty(0, np.int64)
+        lens = np.asarray([len(s) for s in strs], np.int64)
+        buf = np.frombuffer(b"".join(strs), np.uint8)
+        if buf.size == 0:
+            buf = np.zeros(1, np.uint8)
+        handles = np.empty(n, np.int64)
+        rc = self._lib.gsm_add_strs(
+            self._h, buf.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p), n,
+            handles.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            raise RuntimeError("gsm_add_strs failed")
+        return handles
 
     def sync(self) -> None:
         self._lib.gsm_sync(self._h)

@@ -87,15 +87,11 @@ class ColumnStore:
                 st.add(np.ascontiguousarray(table.columns[name][start:end]))
             for name, st in self.handles.items():
                 heap = table.heaps[name]
-                hs = np.fromiter(
-                    (self._put_str(heap.get(d)) for d in range(start, end)),
-                    dtype=np.int64, count=end - start)
-                st.add(hs)
-            ks = np.fromiter(
-                (self._put_str(str(table.doc_keys[d]))
-                 for d in range(start, end)),
-                dtype=np.int64, count=end - start)
-            self.keyh.add(ks)
+                st.add(self.heap.add_strs(
+                    [heap.get(d).encode() for d in range(start, end)]))
+            self.keyh.add(self.heap.add_strs(
+                [str(table.doc_keys[d]).encode()
+                 for d in range(start, end)]))
         for d in dirty or ():
             if d >= start:      # appended above with current values
                 continue
@@ -127,12 +123,11 @@ class ColumnStore:
             table.columns[name][:n] = st.get_range(0, n, dt)
         for name, st in self.handles.items():
             hs = st.get_range(0, n, np.int64)
-            heap = table.heaps[name]
-            for d in range(n):
-                heap.put(d, self.heap.get_str(int(hs[d])).decode())
+            # ONE native crossing for the whole column (per-row get_str
+            # spends minutes in ctypes at 10M rows)
+            table.heaps[name].put_all(0, self.heap.get_strs(hs))
         ks = self.keyh.get_range(0, n, np.int64)
-        table.doc_keys = [self.heap.get_str(int(ks[d])).decode()
-                          for d in range(n)]
+        table.doc_keys = [b.decode() for b in self.heap.get_strs(ks)]
         table.n = n
         return n
 

@@ -31,6 +31,60 @@ from gamma_tpu.ops import penalty as pen_ops
 from gamma_tpu.table.table import Table
 
 
+class TermPostings:
+    """One term's posting list: a sorted-unique int64 array plus a small
+    append buffer merged lazily (the reference keeps adaptive bitmaps,
+    field_range_index.cc; Python `set[int]` costs ~100 B/entry — this is
+    8 B/entry, and `mem_bytes` stops undercounting)."""
+
+    __slots__ = ("_arr", "_buf", "_removed")
+
+    def __init__(self):
+        self._arr = _EMPTY_IDS
+        self._buf: List[int] = []
+        self._removed: Optional[set] = None
+
+    def add(self, docid: int) -> None:
+        self._buf.append(docid)
+
+    def discard(self, docid: int) -> None:
+        if self._removed is None:
+            self._removed = set()
+        self._removed.add(docid)
+
+    def _merge(self) -> None:
+        if self._buf:
+            self._arr = np.unique(np.concatenate(
+                [self._arr, np.asarray(self._buf, np.int64)]))
+            self._buf = []
+        if self._removed:
+            rm = np.fromiter(self._removed, np.int64,
+                             count=len(self._removed))
+            keep = ~np.isin(self._arr, rm)
+            self._arr = self._arr[keep]
+            self._removed = None
+
+    def ids(self) -> np.ndarray:
+        self._merge()
+        return self._arr
+
+    def set_ids(self, arr: np.ndarray) -> None:
+        self._arr = np.asarray(arr, np.int64)
+        self._buf = []
+        self._removed = None
+
+    def __len__(self) -> int:
+        self._merge()
+        return int(self._arr.size)
+
+    def mem_bytes(self) -> int:
+        return (self._arr.nbytes + 8 * len(self._buf)
+                + (100 * len(self._removed) if self._removed else 0))
+
+
+_EMPTY_IDS = np.empty(0, np.int64)
+
+
 class MultiFieldsRangeIndex:
     # cache at most this many device term masks per field (the hottest
     # terms by posting size); the rest build sparsely at query time
@@ -44,8 +98,8 @@ class MultiFieldsRangeIndex:
         # device mirrors of numeric columns, refreshed on flush
         self._device_cols: Dict[str, jnp.ndarray] = {}
         self._device_rows = 0
-        # term postings: field → term → set[docid]
-        self._postings: Dict[str, Dict[str, set]] = {}
+        # term postings: field → term → TermPostings (sorted int64 ids)
+        self._postings: Dict[str, Dict[str, TermPostings]] = {}
         # incrementally-maintained device masks for hot terms
         # (reference maintains posting bitmaps at WRITE time off the
         # query path, field_range_index.cc:901-989): (field, term) →
@@ -77,7 +131,8 @@ class MultiFieldsRangeIndex:
             for term in str(v).split("\x01"):
                 if not term:
                     continue
-                self._postings[name].setdefault(term, set()).add(docid)
+                self._postings[name].setdefault(
+                    term, TermPostings()).add(docid)
                 key = (name, term)
                 if key in self._term_cache:
                     self._term_pending.setdefault(key, []).append(docid)
@@ -119,19 +174,23 @@ class MultiFieldsRangeIndex:
             self._term_pending.clear()
             self._term_rebuild.clear()
             for name in self.term_fields:
-                postings: Dict[str, set] = {}
-                heap = table.heaps[name]
-                get = heap.get
-                for docid in range(n):
-                    v = get(docid)
+                lists: Dict[str, List[int]] = {}
+                vals = table.heaps[name].get_all(n)
+                for docid, v in enumerate(vals):
                     if not v:
                         continue
                     if "\x01" in v:
                         for term in v.split("\x01"):
                             if term:
-                                postings.setdefault(term, set()).add(docid)
+                                lists.setdefault(term, []).append(docid)
                     else:
-                        postings.setdefault(v, set()).add(docid)
+                        lists.setdefault(v, []).append(docid)
+                postings: Dict[str, TermPostings] = {}
+                for term, ids in lists.items():
+                    tp = TermPostings()
+                    # docids arrive in ascending order — already sorted
+                    tp.set_ids(np.asarray(ids, np.int64))
+                    postings[term] = tp
                 self._postings[name] = postings
 
     def flush_device(self, pad_chunk: int = 4096,
@@ -196,9 +255,9 @@ class MultiFieldsRangeIndex:
 
     def _build_term_mask(self, field: str, term: str,
                          rows: int) -> jnp.ndarray:
-        post = self._postings.get(field, {}).get(term, ())
-        ids = np.fromiter((d for d in post if d < rows), np.int64,
-                          count=-1)
+        post = self._postings.get(field, {}).get(term)
+        ids = _EMPTY_IDS if post is None else post.ids()
+        ids = ids[ids < rows]
         mask = jnp.zeros((rows,), jnp.uint8)
         if ids.size:
             mask = mask.at[self._pad_ids(ids)].set(1, mode="drop")
@@ -298,17 +357,17 @@ class MultiFieldsRangeIndex:
                 m = np.ones(n, dtype=bool)
                 for t in terms:
                     mt = np.zeros(n, dtype=bool)
-                    ids = postings.get(t)
-                    if ids:
-                        arr = np.fromiter(ids, np.int64, count=len(ids))
+                    post = postings.get(t)
+                    if post is not None and len(post):
+                        arr = post.ids()
                         mt[arr[arr < n]] = True
                     m &= mt
             else:
                 m = np.zeros(n, dtype=bool)
                 for t in terms:
-                    ids = postings.get(t)
-                    if ids:
-                        arr = np.fromiter(ids, np.int64, count=len(ids))
+                    post = postings.get(t)
+                    if post is not None and len(post):
+                        arr = post.ids()
                         m[arr[arr < n]] = True
                 if tf.is_union == 2:
                     m = ~m
@@ -340,6 +399,6 @@ class MultiFieldsRangeIndex:
     def mem_bytes(self) -> int:
         m = sum(c.size * 4 for c in self._device_cols.values())
         for field, post in self._postings.items():
-            for t, ids in post.items():
-                m += len(ids) * 8 + len(t)
+            for t, tp in post.items():
+                m += tp.mem_bytes() + len(t)
         return int(m)

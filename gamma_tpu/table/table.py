@@ -94,6 +94,27 @@ class StringHeap:
         o, l = int(self.offsets[slot]), int(self.lengths[slot])
         return bytes(self.buf[o: o + l]).decode()
 
+    def put_all(self, start: int, strs: List[bytes]) -> None:
+        """Bulk append: one buffer extend + vectorized offset math
+        (restore path; per-slot put costs a Python call per row)."""
+        n = len(strs)
+        if n == 0:
+            return
+        self._ensure(start + n)
+        lens = np.asarray([len(s) for s in strs], np.int64)
+        base = len(self.buf)
+        self.offsets[start:start + n] = base + np.cumsum(lens) - lens
+        self.lengths[start:start + n] = lens
+        self.buf.extend(b"".join(strs))
+        self.n = max(self.n, start + n)
+
+    def get_all(self, n: int) -> List[str]:
+        """Decode slots [0, n) in one pass (rebuild path)."""
+        n = min(n, self.n)
+        blob = bytes(self.buf)
+        off, ln = self.offsets, self.lengths
+        return [blob[off[i]: off[i] + ln[i]].decode() for i in range(n)]
+
     def mem_bytes(self) -> int:
         return len(self.buf) + self.offsets.nbytes + self.lengths.nbytes
 

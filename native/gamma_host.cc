@@ -326,6 +326,39 @@ API int64_t gsm_get_str(void* h, int64_t handle, char* out, int64_t cap) {
   return (int64_t)len;
 }
 
+// batch string ops: one ctypes crossing for a whole column restore/flush
+// (the per-row gsm_get_str path costs a Python call + 256-byte buffer per
+// row — minutes at 10M rows)
+API int64_t gsm_get_strs(void* h, const int64_t* handles, int64_t n,
+                         char* out, int64_t cap, int64_t* lens) {
+  auto* s = as_storage(h);
+  int64_t need = 0;
+  for (int64_t i = 0; i < n; i++) {
+    size_t si = (size_t)((uint64_t)handles[i] >> 40);
+    uint64_t off = (uint64_t)handles[i] & ((1ULL << 40) - 1);
+    if (si >= s->segs.size()) { lens[i] = -1; continue; }
+    Segment* seg = s->segs[si];
+    uint32_t len;
+    std::memcpy(&len, seg->heap + off, 4);
+    lens[i] = (int64_t)len;
+    if (need + (int64_t)len <= cap)
+      std::memcpy(out + need, seg->heap + off + 4, len);
+    need += (int64_t)len;
+  }
+  return need;  // > cap → caller re-calls with a bigger buffer
+}
+
+API int gsm_add_strs(void* h, const char* buf, const int64_t* lens,
+                     int64_t n, int64_t* handles_out) {
+  int64_t off = 0;
+  for (int64_t i = 0; i < n; i++) {
+    handles_out[i] = gsm_add_str(h, buf + off, lens[i]);
+    if (handles_out[i] < 0) return -1;
+    off += lens[i];
+  }
+  return 0;
+}
+
 API int gsm_sync(void* h) {
   auto* s = as_storage(h);
   for (auto* seg : s->segs) ::msync(seg->base, seg->map_len, MS_SYNC);
