@@ -48,32 +48,80 @@ from gamma_tpu.vector.raw_store import RawVectorStore
 
 NODE_PAD = 8192
 BUILD_CHUNK = 4096
+# inner (corpus) axis of the kNN self-join is tiled so the distance
+# transient stays [BUILD_CHUNK, INNER_CHUNK] f32 = 1 GB regardless of N
+# (the untiled [BUILD_CHUNK, N] tile is 160 GB at 10M rows)
+INNER_CHUNK = 65536
+# above this node count, growth rebuilds are INCREMENTAL (kNN of the new
+# rows only + reverse-edge patch) instead of a full O(N²d) re-run
+INCR_THRESHOLD = 262144
 
 
 def _ceil(n: int, q: int) -> int:
     return -(-n // q) * q
 
 
-@functools.partial(jax.jit, static_argnames=("r", "metric", "n_chunks"))
-def _build_knn(x, norms, valid_pen, *, r, metric, n_chunks):
-    """Exact kNN graph over x [N_pad, d] (N_pad = n_chunks*BUILD_CHUNK).
-    valid_pen [N_pad] poisons padding rows.  → links [N_pad, r] i32."""
+@functools.partial(jax.jit,
+                   static_argnames=("r", "metric", "n_chunks", "n_inner",
+                                    "ic"))
+def _build_knn(x, norms, valid_pen, row0, *, r, metric, n_chunks,
+               n_inner, ic):
+    """Exact kNN of x[row0 : row0 + n_chunks*BUILD_CHUNK) against ALL of
+    x [N_pad, d] (N_pad = n_inner*ic), both axes tiled with a running
+    top-k merge so no [chunk, N] transient materializes (the untiled
+    form is 160 GB at 10M rows).  valid_pen [N_pad] poisons padding
+    rows.  → links [rows, r] i32."""
 
     def one(ci):
-        s = ci * BUILD_CHUNK
+        s = row0 + ci * BUILD_CHUNK
         xc = jax.lax.dynamic_slice_in_dim(x, s, BUILD_CHUNK, axis=0)
-        d = pairwise_dist(xc, x, metric,
-                          None if metric == "ip" else norms)
-        d = d + valid_pen[None, :]
-        vals, idx = jax.lax.approx_min_k(d, r + 1)
         rows = s + jnp.arange(BUILD_CHUNK, dtype=jnp.int32)[:, None]
-        vals = jnp.where(idx == rows, BIG, vals)     # drop self
-        order = jnp.argsort(vals, axis=1)
-        idx = jnp.take_along_axis(idx, order, axis=1)[:, :r]
-        vals = jnp.take_along_axis(vals, order, axis=1)[:, :r]
+
+        def inner(ii, carry):
+            bd, bi = carry
+            t = ii * ic
+            xi = jax.lax.dynamic_slice_in_dim(x, t, ic, axis=0)
+            ni = jax.lax.dynamic_slice_in_dim(norms, t, ic)
+            pi = jax.lax.dynamic_slice_in_dim(valid_pen, t, ic)
+            d = pairwise_dist(xc, xi, metric,
+                              None if metric == "ip" else ni)
+            d = d + pi[None, :]
+            ids = t + jnp.arange(ic, dtype=jnp.int32)
+            d = jnp.where(ids[None, :] == rows, BIG, d)   # drop self
+            if ic <= 2048:
+                nv, idx = jax.lax.top_k(-d, min(r + 1, ic))
+                vals = -nv
+            else:
+                vals, idx = jax.lax.approx_min_k(d, r + 1)
+            cw = vals.shape[1]
+            if cw < r + 1:
+                vals = jnp.pad(vals, ((0, 0), (0, r + 1 - cw)),
+                               constant_values=BIG)
+                idx = jnp.pad(idx, ((0, 0), (0, r + 1 - cw)))
+            return merge_topk(bd, bi, vals,
+                              jnp.take(ids, idx), r + 1)
+
+        init = (jnp.full((BUILD_CHUNK, r + 1), BIG, jnp.float32),
+                jnp.full((BUILD_CHUNK, r + 1), -1, jnp.int32))
+        vals, idx = jax.lax.fori_loop(0, n_inner, inner, init)
+        vals, idx = vals[:, :r], idx[:, :r]
         return jnp.where(vals >= BIG, -1, idx).astype(jnp.int32)
 
     return jax.lax.map(one, jnp.arange(n_chunks)).reshape(-1, r)
+
+
+@jax.jit
+def _patch_reverse(links, new_ids, new_out, slots):
+    """Insert each new node into ONE reverse slot of every out-neighbor
+    (device scatter; collisions overwrite — bounded degree, recency-
+    biased, the batched analog of hnswlib's capped bidirectional
+    connect).  new_out [m, r] are the new nodes' out-links; slots [m]
+    picks the reverse column per new node."""
+    m, r = new_out.shape
+    dst = jnp.where(new_out >= 0, new_out, 0x40000000).reshape(-1)
+    src = jnp.broadcast_to(new_ids[:, None], (m, r)).reshape(-1)
+    col = jnp.broadcast_to(slots[:, None], (m, r)).reshape(-1)
+    return links.at[dst, col].set(src, mode="drop")
 
 
 @functools.partial(jax.jit, static_argnames=("alpha",))
@@ -208,10 +256,11 @@ class HNSWIndex(RetrievalModel):
         self.links = jnp.pad(self.links, ((0, new_cap - cap), (0, 0)),
                              constant_values=-1)
 
-    def _bulk_build(self, end: int) -> None:
-        metric = ("ip" if self.default_metric == MetricType.INNER_PRODUCT
-                  else "l2")
-        n_pad = _ceil(max(end, BUILD_CHUNK), BUILD_CHUNK)
+    def _padded_corpus(self, end: int):
+        """Device corpus padded for the tiled self-join: n_pad is a
+        multiple of the inner chunk ic (= min(INNER_CHUNK, padded end))."""
+        ic = min(INNER_CHUNK, _ceil(max(end, BUILD_CHUNK), BUILD_CHUNK))
+        n_pad = _ceil(max(end, BUILD_CHUNK), ic)
         x = jnp.zeros((n_pad, self.store.d), self.store.device.dtype)
         x = jax.lax.dynamic_update_slice(
             x, self.store.device[: min(end, self.store.device.shape[0])],
@@ -220,15 +269,23 @@ class HNSWIndex(RetrievalModel):
                         (0, n_pad - end))
         valid_pen = jnp.where(jnp.arange(n_pad) < end, 0.0, BIG
                               ).astype(jnp.float32)
-        links = _build_knn(x, norms, valid_pen, r=self.nlinks,
-                           metric=metric, n_chunks=n_pad // BUILD_CHUNK)
+        return x, norms, valid_pen, n_pad, ic
+
+    def _knn_out_links(self, x, norms, valid_pen, n_pad, ic, row0: int,
+                       end: int, metric: str) -> jnp.ndarray:
+        """α-pruned out-links for rows [row0, end) (row0 chunk-aligned)."""
+        n_chunks = _ceil(end - row0, BUILD_CHUNK) // BUILD_CHUNK
+        links = _build_knn(x, norms, valid_pen, jnp.int32(row0),
+                           r=self.nlinks, metric=metric,
+                           n_chunks=n_chunks, n_inner=n_pad // ic, ic=ic)
         if self.alpha > 1.0 and metric == "l2":
             # prune in chunks to bound the [c, r, r] intermediate
             pruned = []
-            for s in range(0, end, BUILD_CHUNK):
-                e = min(end, s + BUILD_CHUNK)
+            for s in range(0, end - row0, BUILD_CHUNK):
+                e = min(end - row0, s + BUILD_CHUNK)
                 ids = links[s:e]
-                node = x[s:e].astype(jnp.float32)
+                node = jax.lax.dynamic_slice_in_dim(
+                    x, row0 + s, e - s, axis=0).astype(jnp.float32)
                 nbr = jnp.take(x, jnp.maximum(ids, 0),
                                axis=0).astype(jnp.float32)
                 nd = jnp.sum((node[:, None, :] - nbr) ** 2, axis=-1)
@@ -236,6 +293,14 @@ class HNSWIndex(RetrievalModel):
                 pruned.append(_alpha_prune(nbr, ids, nd,
                                            alpha=self.alpha))
             links = jnp.concatenate(pruned, axis=0)
+        return links[: end - row0]
+
+    def _bulk_build(self, end: int) -> None:
+        metric = ("ip" if self.default_metric == MetricType.INNER_PRODUCT
+                  else "l2")
+        x, norms, valid_pen, n_pad, ic = self._padded_corpus(end)
+        links = self._knn_out_links(x, norms, valid_pen, n_pad, ic,
+                                    0, end, metric)
         # reverse edges (undirected graph: no in-degree-0 nodes)
         out_np = np.asarray(links[:end])
         r = self.nlinks
@@ -279,6 +344,36 @@ class HNSWIndex(RetrievalModel):
         self.links = self.links.at[:end].set(jnp.asarray(full))
         self.n_nodes = end
 
+    def _incremental_build(self, end: int) -> None:
+        """Merge rows [n_nodes, end) into the existing graph WITHOUT the
+        full O(N²d) re-run (hnswlib likewise inserts incrementally):
+        kNN of the new rows against the whole corpus gives their
+        out-links; each new node is then scattered into one reverse slot
+        of every out-neighbor so old nodes can reach it."""
+        metric = ("ip" if self.default_metric == MetricType.INNER_PRODUCT
+                  else "l2")
+        row0 = (self.n_nodes // BUILD_CHUNK) * BUILD_CHUNK
+        x, norms, valid_pen, n_pad, ic = self._padded_corpus(end)
+        out = self._knn_out_links(x, norms, valid_pen, n_pad, ic,
+                                  row0, end, metric)       # [m, r]
+        m = end - row0
+        r = self.nlinks
+        # long-range edges keep the small-world shortcuts for new rows
+        lrng = np.random.default_rng(end)
+        longe = lrng.integers(0, end, size=(m, self.n_long)).astype(
+            np.int32)
+        ids_np = np.arange(row0, end, dtype=np.int32)
+        longe[longe == ids_np[:, None]] = -1
+        rev = np.full((m, self.n_reverse), -1, np.int32)
+        full = jnp.concatenate(
+            [out, jnp.asarray(rev), jnp.asarray(longe)], axis=1)
+        self._grow_links(end)
+        self.links = self.links.at[row0:end].set(full)
+        new_ids = jnp.asarray(ids_np)
+        slots = jnp.asarray(r + (ids_np % self.n_reverse))
+        self.links = _patch_reverse(self.links, new_ids, out, slots)
+        self.n_nodes = end
+
     def add(self, x, vids: np.ndarray, docids: np.ndarray) -> None:
         """Growth-triggered batch rebuild; the tail between rebuilds is
         covered by the fused flat scan in search()."""
@@ -290,7 +385,10 @@ class HNSWIndex(RetrievalModel):
         # covered at search time by the flat tail scan once they flush.
         build_hi = min(hi, self.store.flushed)
         if build_hi > max(4 * self.nlinks, int(self.n_nodes * 1.25)):
-            self._bulk_build(build_hi)
+            if self.n_nodes >= INCR_THRESHOLD:
+                self._incremental_build(build_hi)
+            else:
+                self._bulk_build(build_hi)
         self.indexed_count = max(self.indexed_count, hi)
 
     def delete(self, vids) -> None:

@@ -140,3 +140,45 @@ def test_pump_terminates_on_unflushed_rows(rng):
     d, ids, _ = idx.search(jnp.asarray(x[550:551]), pen,
                            SearchParams.from_dict({}), 3)
     assert int(np.asarray(ids)[0, 0]) == 550
+
+
+def test_incremental_growth(corpus_small, rng, monkeypatch):
+    """Past INCR_THRESHOLD, growth merges new rows without a full
+    rebuild: old out-links are untouched, new rows get out-links and are
+    reachable (reverse-patched), and search finds them."""
+    import gamma_tpu.index.hnsw as hnsw_mod
+    monkeypatch.setattr(hnsw_mod, "INCR_THRESHOLD", 64)
+    # shrink the build chunk so row0 (chunk-aligned rebuild start) lands
+    # INSIDE the existing graph — the real incremental path
+    monkeypatch.setattr(hnsw_mod, "BUILD_CHUNK", 512)
+    n0 = corpus_small.shape[0]
+    store, idx = _build(corpus_small)
+    before = np.asarray(idx.links[:n0]).copy()
+    assert idx.n_nodes == n0
+    row0 = (n0 // 512) * 512
+    extra = corpus_small[:600] + 0.05 * rng.normal(
+        size=(600, corpus_small.shape[1])).astype(np.float32)
+    vids = np.arange(n0, n0 + 600, dtype=np.int64)
+    store.add(extra)
+    store.flush_device()
+    idx.add(extra, vids, vids)
+    assert idx.n_nodes == n0 + 600
+    after = np.asarray(idx.links[: n0 + 600])
+    # rows before the chunk-aligned rebuild start: out-link columns
+    # unchanged (only reverse slots may move)
+    r = idx.nlinks
+    assert (after[:row0, :r] == before[:row0, :r]).all()
+    # new rows have real out-links into [0, end)
+    assert (after[n0:, :r] >= 0).any(axis=1).all()
+    # new rows are referenced by someone (reverse patch landed)
+    refs = set(after[after >= 0].ravel().tolist())
+    frac = np.mean([v in refs for v in range(n0, n0 + 600)])
+    assert frac >= 0.9, frac
+    # search near a new row finds it
+    q = jnp.asarray(extra[:8])
+    pen = jnp.zeros(idx.links.shape[0] + 64, jnp.float32)
+    sp = SearchParams.from_dict({"efSearch": 64})
+    _, docs, _ = idx.search(q, pen, sp, 5)
+    docs = np.asarray(docs)
+    found = np.mean([(docs[i] >= n0).any() for i in range(8)])
+    assert found >= 0.8, found
