@@ -33,10 +33,15 @@ class PartitionSpec:
     """One partition: replica addresses (unix path or (host, port))."""
     replicas: List[Any]
     alive: List[bool] = dataclasses.field(default_factory=list)
+    # writes (docs + deletes) a dead replica has MISSED since it died —
+    # the divergence window is explicit until recover_replica zeroes it
+    lag: List[int] = dataclasses.field(default_factory=list)
 
     def __post_init__(self):
         if not self.alive:
             self.alive = [True] * len(self.replicas)
+        if not self.lag:
+            self.lag = [0] * len(self.replicas)
 
 
 class RouterError(RuntimeError):
@@ -121,16 +126,23 @@ class GammaRouter:
         codes = [0] * len(docs)
 
         def send(pi: int, batch: List[Tuple[int, Doc]]):
+            # ack semantics: success if ANY replica took the write (no
+            # write-quorum — Vearch acks the same way and re-syncs via
+            # partition recovery); replicas that errored are marked dead
+            # and their missed-write count accrues in spec.lag until
+            # recover_replica re-clones them
             spec = self.partitions[pi]
             payload = [d for _, d in batch]
             got = None
             for ri in range(len(spec.replicas)):
                 if not spec.alive[ri]:
+                    spec.lag[ri] += len(payload)
                     continue
                 try:
                     got = self._client(pi, ri).add_or_update_docs(payload)
                 except (OSError, RuntimeError):
                     self._mark_dead(pi, ri)
+                    spec.lag[ri] += len(payload)
             if got is None:
                 raise RouterError(f"partition {pi}: no live replica")
             for (i, _), c in zip(batch, got):
@@ -148,11 +160,13 @@ class GammaRouter:
         status = -1
         for ri in range(len(spec.replicas)):
             if not spec.alive[ri]:
+                spec.lag[ri] += 1
                 continue
             try:
                 status = self._client(pi, ri).delete(key)
             except (OSError, RuntimeError):
                 self._mark_dead(pi, ri)
+                spec.lag[ri] += 1
         return status
 
     def del_doc_by_query(self, request: Request) -> int:
@@ -271,6 +285,13 @@ class GammaRouter:
     def doc_count(self) -> int:
         return sum(st.doc_count for st in self.status())
 
+    def replica_status(self) -> List[Dict[str, Any]]:
+        """Per-partition replica health: alive flags + missed-write lag
+        (the divergence window of the any-replica ack model — nonzero lag
+        means that replica must be re-cloned, not trusted for reads)."""
+        return [{"alive": list(spec.alive), "lag": list(spec.lag)}
+                for spec in self.partitions]
+
     # ---- replica management (re-replication / partition move) ----
 
     def recover_replica(self, pi: int, ri: int, *, new_addr=None,
@@ -299,6 +320,7 @@ class GammaRouter:
         if cli.init(new_config) != 0 or cli.load() < 0:
             raise RouterError(f"partition {pi}: replica load failed")
         spec.alive[ri] = True
+        spec.lag[ri] = 0      # re-clone covers every missed write
 
     def close(self) -> None:
         for pi, spec in enumerate(self.partitions):

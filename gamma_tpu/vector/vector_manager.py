@@ -50,10 +50,18 @@ class VectorManager:
             dtypes = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
                       "float8": jnp.float8_e4m3fn,
                       "float8_e4m3": jnp.float8_e4m3fn}
+            # host_dtype=float16 = in-memory compression of the HOST
+            # store (reference: GammaZFP fixed-rate compression,
+            # vector/gamma_zfp.cc) — halves RAM/memmap footprint; reads
+            # upcast to f32 for the exact rerank
+            hd = str(vi.store_param.get("host_dtype", "float32"))
+            import numpy as _np
             store = RawVectorStore(
                 vi.name, vi.dimension,
                 store_type=vi.store_type,
                 device_dtype=dtypes.get(dd, jnp.bfloat16),
+                host_dtype=(_np.float16 if hd in ("float16", "f16")
+                            else _np.float32),
                 root_path=os.path.join(self.root_path, "vectors"),
                 compress_dumps=bool(vi.store_param.get("compress", False)),
             )

@@ -1,175 +1,89 @@
-// gamma_client — a non-Python client for the gamma-tpu serving surface.
+// gamma_client_demo — end-to-end exercise of the full C++ SDK surface
+// (native/gamma_client.h) against a running gamma_tpu server.
 //
-// Proves the language-neutral contract the Go SDK plays for the reference
-// (reference: go/gamma/gamma.go over cgo + flatbuffers; here: the 5-byte
-// request / 8-byte response frame of gamma_tpu/server.py carrying the
-// GWIR wire format of gamma_tpu/idl/wire.py).
+// The reference ships a Go binding (go/gamma/gamma.go:20-132); this is
+// the second-language SDK for gamma-tpu, speaking the GWIR wire format
+// over the frame protocol of gamma_tpu/server.py.
 //
-// Flow exercised: Init → CreateTable → AddOrUpdateDocs (vectors as raw
-// little-endian f32 blobs) → Flush → Status → brute-force Search →
-// verify the self-hit comes back first.
+// Flow: Init → CreateTable → AddOrUpdateDocs → Flush → Status →
+// brute Search (self-hit rank 1) → term-filtered Search → range-filtered
+// Search → GetDoc → DeleteDoc (+ verify gone) → DelDocByQuery →
+// BuildIndex → Dump → Load (restore count) → Close.
 //
 // Build: g++ -O2 -std=c++17 -o gamma_client_demo gamma_client.cc
-// Run:   ./gamma_client_demo /path/to/server.sock /tmp/engine_dir
+// Run:   ./gamma_client_demo SOCKET ENGINE_DIR
 
-#include <arpa/inet.h>
-#include <sys/socket.h>
-#include <sys/un.h>
-#include <unistd.h>
-
-#include <cstdint>
 #include <cstdio>
-#include <cstring>
 #include <string>
 #include <vector>
 
+#include "gamma_client.h"
+
+using gammatpu::F32Blob;
+using gammatpu::GammaClient;
+
 namespace {
 
-constexpr uint32_t kMagic = 0x47574952;  // 'GWIR'
-constexpr uint8_t kVersion = 1;
-
-enum MsgType : uint8_t {
-  MSG_CONFIG = 1,
-  MSG_TABLE = 2,
-  MSG_DOCS = 4,
-  MSG_REQUEST = 5,
-  MSG_RESPONSE = 6,
-  MSG_STATUS = 7,
-};
-
-enum Op : uint8_t {
-  OP_INIT = 1,
-  OP_CREATE_TABLE = 3,
-  OP_ADD_OR_UPDATE_DOCS = 4,
-  OP_SEARCH = 6,
-  OP_FLUSH = 9,
-  OP_STATUS = 10,
-};
-
-void put_u32(std::string* out, uint32_t v) {
-  char b[4];
-  memcpy(b, &v, 4);  // x86/arm64 little-endian
-  out->append(b, 4);
+bool Contains(const std::string& s, const std::string& what) {
+  return s.find(what) != std::string::npos;
 }
 
-// GWIR message: 12-byte header | JSON | u32 n_blobs | {u32 len | bytes}*
-std::string wire_pack(uint8_t msg_type, const std::string& header_json,
-                      const std::vector<std::string>& blobs) {
-  std::string out;
-  put_u32(&out, kMagic);
-  out.push_back(static_cast<char>(kVersion));
-  out.push_back(static_cast<char>(msg_type));
-  out.push_back(0);
-  out.push_back(0);
-  put_u32(&out, header_json.size());
-  out += header_json;
-  put_u32(&out, blobs.size());
-  for (const auto& b : blobs) {
-    put_u32(&out, b.size());
-    out += b;
-  }
-  return out;
+std::string SearchHeader(int dim, const std::string& extra_filters,
+                         bool brute) {
+  return std::string("{\"topn\":5,\"req_num\":1,\"brute_force_search\":") +
+         (brute ? "true" : "false") +
+         ",\"multi_vector_rank\":0,\"l2_sqrt\":false,"
+         "\"online_log_level\":\"\",\"fields\":[],\"retrieval_params\":{},"
+         "\"vec_fields\":[{\"name\":\"emb\",\"value\":{\"$blob\":0,"
+         "\"dtype\":\"float32\",\"shape\":[1," + std::to_string(dim) +
+         "]},\"min_score\":null,\"max_score\":null,\"boost\":1.0,"
+         "\"has_boost\":false}]," + extra_filters + "}";
 }
 
-class Client {
- public:
-  explicit Client(const std::string& socket_path) {
-    fd_ = socket(AF_UNIX, SOCK_STREAM, 0);
-    sockaddr_un addr{};
-    addr.sun_family = AF_UNIX;
-    snprintf(addr.sun_path, sizeof(addr.sun_path), "%s",
-             socket_path.c_str());
-    if (connect(fd_, reinterpret_cast<sockaddr*>(&addr), sizeof(addr))) {
-      perror("connect");
-      exit(2);
-    }
-  }
-  ~Client() { close(fd_); }
-
-  // frame: u8 opcode | u32 len | payload  →  i32 status | u32 len | payload
-  int call(uint8_t op, const std::string& payload, std::string* out) {
-    std::string req;
-    req.push_back(static_cast<char>(op));
-    put_u32(&req, payload.size());
-    req += payload;
-    send_all(req.data(), req.size());
-    char hdr[8];
-    recv_all(hdr, 8);
-    int32_t status;
-    uint32_t plen;
-    memcpy(&status, hdr, 4);
-    memcpy(&plen, hdr + 4, 4);
-    out->resize(plen);
-    if (plen) recv_all(&(*out)[0], plen);
-    return status;
-  }
-
- private:
-  void send_all(const char* p, size_t n) {
-    while (n) {
-      ssize_t w = write(fd_, p, n);
-      if (w <= 0) { perror("write"); exit(2); }
-      p += w;
-      n -= static_cast<size_t>(w);
-    }
-  }
-  void recv_all(char* p, size_t n) {
-    while (n) {
-      ssize_t r = read(fd_, p, n);
-      if (r <= 0) { perror("read"); exit(2); }
-      p += r;
-      n -= static_cast<size_t>(r);
-    }
-  }
-  int fd_;
-};
-
-std::string f32_blob(const std::vector<float>& v) {
-  return std::string(reinterpret_cast<const char*>(v.data()),
-                     v.size() * sizeof(float));
-}
+#define CHECK(cond, msg)                      \
+  do {                                        \
+    if (!(cond)) {                            \
+      std::fprintf(stderr, "FAIL: %s\n", msg); \
+      return 1;                               \
+    }                                         \
+  } while (0)
 
 }  // namespace
 
 int main(int argc, char** argv) {
   if (argc < 3) {
-    fprintf(stderr, "usage: %s SOCKET ENGINE_DIR\n", argv[0]);
+    std::fprintf(stderr, "usage: %s SOCKET ENGINE_DIR\n", argv[0]);
     return 2;
   }
   const std::string sock = argv[1];
   const std::string dir = argv[2];
   const int N = 400, D = 16;
 
-  Client cli(sock);
+  GammaClient cli(sock);
+  CHECK(cli.connected(), "connect");
   std::string out;
 
-  // Init (MSG_CONFIG header == EngineConfig fields, no extras)
   char cfg[512];
-  snprintf(cfg, sizeof(cfg),
-           "{\"path\":\"%s\",\"log_dir\":\"\",\"max_doc_size\":100000,"
-           "\"max_concurrent\":4,\"native_persistence\":false}",
-           dir.c_str());
-  if (cli.call(OP_INIT, wire_pack(MSG_CONFIG, cfg, {}), &out) != 0) {
-    fprintf(stderr, "init failed\n");
-    return 1;
-  }
+  std::snprintf(cfg, sizeof(cfg),
+                "{\"path\":\"%s\",\"log_dir\":\"\",\"max_doc_size\":100000,"
+                "\"max_concurrent\":4,\"native_persistence\":false}",
+                dir.c_str());
+  CHECK(cli.Init(cfg) == 0, "init");
 
-  // CreateTable
-  char table[512];
-  snprintf(table, sizeof(table),
-           "{\"name\":\"t\",\"fields\":[{\"name\":\"price\",\"data_type\":2,"
-           "\"is_index\":true}],\"vectors\":[{\"name\":\"emb\","
-           "\"dimension\":%d,\"store_type\":\"MemoryOnly\",\"store_param\":{},"
-           "\"data_type\":2,\"is_index\":true}],\"indexing_size\":100000,"
-           "\"retrieval_types\":[\"IVFPQ\"],\"retrieval_params\":"
-           "[{\"ncentroids\":16,\"nsubvector\":4}]}",
-           D);
-  if (cli.call(OP_CREATE_TABLE, wire_pack(MSG_TABLE, table, {}), &out)) {
-    fprintf(stderr, "create_table failed\n");
-    return 1;
-  }
+  char table[640];
+  std::snprintf(
+      table, sizeof(table),
+      "{\"name\":\"t\",\"fields\":[{\"name\":\"price\",\"data_type\":2,"
+      "\"is_index\":true},{\"name\":\"tag\",\"data_type\":4,"
+      "\"is_index\":true}],\"vectors\":[{\"name\":\"emb\","
+      "\"dimension\":%d,\"store_type\":\"MemoryOnly\",\"store_param\":{},"
+      "\"data_type\":2,\"is_index\":true}],\"indexing_size\":100000,"
+      "\"retrieval_types\":[\"IVFPQ\"],\"retrieval_params\":"
+      "[{\"ncentroids\":16,\"nsubvector\":4}]}",
+      D);
+  CHECK(cli.CreateTable(table) == 0, "create_table");
 
-  // Docs: deterministic LCG vectors, one f32 blob per doc
+  // deterministic LCG vectors, one f32 blob per doc
   uint32_t seed = 12345;
   auto next_f = [&seed]() {
     seed = seed * 1664525u + 1013904223u;
@@ -182,61 +96,88 @@ int main(int argc, char** argv) {
   std::string docs_hdr = "{\"docs\":[";
   std::vector<std::string> blobs;
   for (int i = 0; i < N; i++) {
-    char one[256];
-    snprintf(one, sizeof(one),
-             "%s{\"key\":\"k%d\",\"fields\":{\"price\":%d},"
-             "\"vectors\":{\"emb\":{\"$blob\":%d,\"dtype\":\"float32\","
-             "\"shape\":[%d]}}}",
-             i ? "," : "", i, i % 100, i, D);
+    char one[320];
+    std::snprintf(one, sizeof(one),
+                  "%s{\"key\":\"k%d\",\"fields\":{\"price\":%d,"
+                  "\"tag\":\"t%d\"},\"vectors\":{\"emb\":{\"$blob\":%d,"
+                  "\"dtype\":\"float32\",\"shape\":[%d]}}}",
+                  i ? "," : "", i, i % 100, i % 4, i, D);
     docs_hdr += one;
-    blobs.push_back(f32_blob(vecs[i]));
+    blobs.push_back(F32Blob(vecs[i]));
   }
   docs_hdr += "]}";
-  if (cli.call(OP_ADD_OR_UPDATE_DOCS, wire_pack(MSG_DOCS, docs_hdr, blobs),
-               &out) != 0) {
-    fprintf(stderr, "add_docs failed\n");
-    return 1;
-  }
-  cli.call(OP_FLUSH, "", &out);
+  CHECK(cli.AddOrUpdateDocs(docs_hdr, blobs, &out) == 0, "add_docs");
+  CHECK(cli.Flush() == 0, "flush");
 
-  // Status: doc_count must round-trip
-  if (cli.call(OP_STATUS, "", &out) != 0) {
-    fprintf(stderr, "status failed\n");
-    return 1;
-  }
+  CHECK(cli.Status(&out) == 0, "status");
   char want[64];
-  snprintf(want, sizeof(want), "\"doc_count\":%d", N);
-  if (out.find(want) == std::string::npos) {
-    fprintf(stderr, "status missing %s\n", want);
-    return 1;
-  }
+  std::snprintf(want, sizeof(want), "\"doc_count\":%d", N);
+  CHECK(Contains(out, want), "status doc_count");
 
-  // Brute-force search for doc 7's own vector: self-hit must rank first
-  std::string req_hdr =
-      "{\"topn\":5,\"req_num\":1,\"brute_force_search\":true,"
-      "\"multi_vector_rank\":0,\"l2_sqrt\":false,\"online_log_level\":\"\","
-      "\"fields\":[],\"retrieval_params\":{},\"vec_fields\":[{"
-      "\"name\":\"emb\",\"value\":{\"$blob\":0,\"dtype\":\"float32\","
-      "\"shape\":[1," + std::to_string(D) + "]},\"min_score\":null,"
-      "\"max_score\":null,\"boost\":1.0,\"has_boost\":false}],"
-      "\"range_filters\":[],\"term_filters\":[]}";
-  if (cli.call(OP_SEARCH, wire_pack(MSG_REQUEST, req_hdr, {f32_blob(vecs[7])}),
-               &out) != 0) {
-    fprintf(stderr, "search failed\n");
-    return 1;
-  }
-  size_t k7 = out.find("\"key\":\"k7\"");
-  if (k7 == std::string::npos) {
-    fprintf(stderr, "self-hit k7 missing from response\n");
-    return 1;
-  }
-  // first item in the items array == best hit
+  // 1. brute search: doc 7's own vector must rank first
+  const std::string no_filters =
+      "\"range_filters\":[],\"term_filters\":[]";
+  CHECK(cli.Search(SearchHeader(D, no_filters, true), {F32Blob(vecs[7])},
+                   &out) == 0, "search");
   size_t first = out.find("\"items\":[");
-  if (first == std::string::npos || out.find("\"key\":", first) !=
-      out.find("\"key\":\"k7\"", first)) {
-    fprintf(stderr, "self-hit k7 is not rank 1\n");
-    return 1;
-  }
-  printf("gamma_client: OK (N=%d, self-hit verified)\n", N);
+  CHECK(first != std::string::npos, "items array");
+  CHECK(out.find("\"key\":", first) == out.find("\"key\":\"k7\"", first),
+        "self-hit k7 rank 1");
+
+  // 2. term-filtered search: tag == t2 admits only docid % 4 == 2
+  const std::string term_f =
+      "\"range_filters\":[],\"term_filters\":[{\"field\":\"tag\","
+      "\"value\":\"t2\",\"is_union\":1}]";
+  CHECK(cli.Search(SearchHeader(D, term_f, true), {F32Blob(vecs[7])},
+                   &out) == 0, "term search");
+  CHECK(!Contains(out, "\"key\":\"k7\""), "term filter excludes k7");
+  CHECK(Contains(out, "\"key\":\"k"), "term filter returns hits");
+
+  // 3. range-filtered search: price in [7, 7] → keys k7, k107, k207, k307
+  const std::string range_f =
+      "\"range_filters\":[{\"field\":\"price\",\"lower_value\":7,"
+      "\"upper_value\":7,\"include_lower\":true,\"include_upper\":true}],"
+      "\"term_filters\":[]";
+  CHECK(cli.Search(SearchHeader(D, range_f, true), {F32Blob(vecs[7])},
+                   &out) == 0, "range search");
+  CHECK(Contains(out, "\"key\":\"k7\""), "range filter admits k7");
+  CHECK(!Contains(out, "\"key\":\"k8\""), "range filter excludes k8");
+
+  // 4. GetDoc round-trip
+  CHECK(cli.GetDoc("k42", &out) == 0, "get_doc");
+  CHECK(Contains(out, "\"key\":\"k42\""), "get_doc payload");
+
+  // 5. DeleteDoc + verify gone from results
+  CHECK(cli.DeleteDoc("k7") == 0, "delete");
+  CHECK(cli.Search(SearchHeader(D, no_filters, true), {F32Blob(vecs[7])},
+                   &out) == 0, "search after delete");
+  CHECK(!Contains(out, "\"key\":\"k7\""), "k7 gone after delete");
+
+  // 6. DelDocByQuery: price == 9 deletes 4 docs
+  const std::string delq =
+      "{\"topn\":1,\"req_num\":0,\"brute_force_search\":false,"
+      "\"multi_vector_rank\":0,\"l2_sqrt\":false,\"online_log_level\":\"\","
+      "\"fields\":[],\"retrieval_params\":{},\"vec_fields\":[],"
+      "\"range_filters\":[{\"field\":\"price\",\"lower_value\":9,"
+      "\"upper_value\":9,\"include_lower\":true,\"include_upper\":true}],"
+      "\"term_filters\":[]}";
+  int deleted = cli.DelDocByQuery(delq);
+  CHECK(deleted == 4, "del_doc_by_query count");
+
+  // 7. BuildIndex + Dump + Load: the restored engine still excludes the
+  // deleted docs and still answers searches
+  CHECK(cli.BuildIndex() == 0, "build_index");
+  CHECK(cli.Flush() == 0, "flush before dump");
+  CHECK(cli.Dump() == 0, "dump");
+  CHECK(cli.Load() == 0, "load");
+  CHECK(cli.Search(SearchHeader(D, no_filters, true), {F32Blob(vecs[7])},
+                   &out) == 0, "search after load");
+  CHECK(!Contains(out, "\"key\":\"k7\""), "delete survives dump/load");
+  CHECK(Contains(out, "\"key\":\"k"), "restored search returns hits");
+  CHECK(cli.GetDoc("k42", &out) == 0, "get_doc after load");
+
+  CHECK(cli.CloseEngine() == 0, "close");
+  std::printf("gamma_client: OK (N=%d, full surface: search/filters/"
+              "get/delete/delq/dump/load)\n", N);
   return 0;
 }

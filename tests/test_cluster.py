@@ -124,6 +124,19 @@ def test_replica_failover_and_recovery(cluster, corpus):
         vectors={"emb": corpus[0] + 0.01})])
     assert router.get_doc("fresh1") is not None or \
         router.partition_of("fresh1") == 1
+    # divergence window is visible: the dead replica's missed writes
+    # accrue as lag until recovery
+    if router.partition_of("fresh1") == 0:
+        assert router.replica_status()[0]["lag"][0] >= 1
+    else:   # route a write onto partition 0 so the lag is observable
+        for i in range(50):
+            key = f"lagprobe{i}"
+            if router.partition_of(key) == 0:
+                router.add_or_update_docs([Doc(
+                    key=key, fields={"price": 1.0},
+                    vectors={"emb": corpus[1] + 0.02})])
+                break
+        assert router.replica_status()[0]["lag"][0] >= 1
     # re-replicate replica 0 from the survivor onto server 1's socket
     router.recover_replica(
         0, 0, new_addr=lc.sockets[1],
@@ -131,6 +144,7 @@ def test_replica_failover_and_recovery(cluster, corpus):
         source_path=str(base / "p0r1"),
         dest_path=str(base / "p0r0_recovered"))
     assert router.partitions[0].alive == [True, True]
+    assert router.replica_status()[0]["lag"] == [0, 0]
     resp = router.search(Request(
         topn=5, vec_fields=[VectorQuery("emb", q)]))
     assert resp.results[0].result_items
