@@ -41,7 +41,8 @@ import numpy as np
 from gamma_tpu.config import MetricType, SearchParams
 from gamma_tpu.index.model import RetrievalModel
 from gamma_tpu.index.registry import register_model
-from gamma_tpu.ops.distances import BIG, pairwise_dist
+from gamma_tpu.ops.distances import (BIG, l2_norms, pairwise_dist,
+                                     pairwise_l2)
 from gamma_tpu.ops.flat_scan import flat_search
 from gamma_tpu.ops.topk import merge_topk
 from gamma_tpu.vector.raw_store import RawVectorStore
@@ -55,6 +56,15 @@ INNER_CHUNK = 65536
 # above this node count, growth rebuilds are INCREMENTAL (kNN of the new
 # rows only + reverse-edge patch) instead of a full O(N²d) re-run
 INCR_THRESHOLD = 262144
+# above this corpus size, the kNN graph builds from a CLUSTERED partition
+# self-join (two overlapping kmeans partitions, exact kNN inside each
+# cluster) instead of the exact all-pairs join: O(N·capm·d) vs O(N²d) —
+# at 5M rows the exact join is ~6 PFLOP (hours); the clustered build is
+# ~20 TFLOP (minutes).  hnswlib's insert-time construction is likewise
+# approximate.
+CLUSTER_BUILD_N = 300_000
+CLUSTER_TARGET = 3072       # mean rows per cluster
+CLUSTER_CAP_X = 2.0         # member-slot headroom over the mean
 
 
 def _ceil(n: int, q: int) -> int:
@@ -108,6 +118,88 @@ def _build_knn(x, norms, valid_pen, row0, *, r, metric, n_chunks,
         return jnp.where(vals >= BIG, -1, idx).astype(jnp.int32)
 
     return jax.lax.map(one, jnp.arange(n_chunks)).reshape(-1, r)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _assign_top2(x, cents, cnorms, *, chunk=8192):
+    """Top-2 cluster assignment per row, chunked.  → [N_pad, 2] i32."""
+    def one(xc):
+        d = pairwise_l2(xc.astype(jnp.float32), cents, cnorms)
+        _, idx = jax.lax.top_k(-d, 2)
+        return idx.astype(jnp.int32)
+
+    return jax.lax.map(
+        one, x.reshape(-1, chunk, x.shape[1])).reshape(-1, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("ncl", "capm"))
+def _group_members(assign, valid, *, ncl, capm):
+    """Invert row→cluster into member lists [ncl, capm] i32 (-1 pad);
+    rows past a cluster's capm slots are dropped (they still appear as
+    members of their OTHER partition's cluster)."""
+    n = assign.shape[0]
+    li = jnp.where(valid, assign, ncl).astype(jnp.int32)
+    order = jnp.argsort(li, stable=True).astype(jnp.int32)
+    sl = jnp.take(li, order)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), sl[1:] != sl[:-1]])
+    run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank = idx - run_start
+    members = jnp.full((ncl + 1, capm), -1, jnp.int32)
+    members = members.at[jnp.minimum(sl, ncl), rank].set(
+        order, mode="drop")          # rank >= capm → OOB column, dropped
+    return members[:ncl]
+
+
+@functools.partial(jax.jit, static_argnames=("r", "metric", "ncl"))
+def _cluster_pass(x, norms, members, *, r, metric, ncl):
+    """Exact kNN inside each cluster: one [capm, capm] self-join per
+    cluster, results scattered back by global row id.
+    → (vals [N_pad, r+1] f32, ids [N_pad, r+1] i32)."""
+    n_pad = x.shape[0]
+    capm = members.shape[1]
+
+    def body(ci, carry):
+        gv, gi = carry
+        mlist = jax.lax.dynamic_slice_in_dim(members, ci, 1, axis=0)[0]
+        msafe = jnp.maximum(mlist, 0)
+        rows = jnp.take(x, msafe, axis=0)
+        nr = jnp.take(norms, msafe)
+        d = pairwise_dist(rows, rows, metric,
+                          None if metric == "ip" else nr)
+        d = d + jnp.where(mlist < 0, BIG, 0.0)[None, :]
+        ii = jnp.arange(capm, dtype=jnp.int32)
+        d = jnp.where(ii[None, :] == ii[:, None], BIG, d)   # drop self
+        vals, idx = jax.lax.approx_min_k(d, r + 1)
+        gids = jnp.take(mlist, idx)
+        gids = jnp.where(vals >= BIG, -1, gids)
+        vals = jnp.minimum(vals, BIG)
+        tgt = jnp.where(mlist < 0, 0x40000000, mlist)
+        gv = gv.at[tgt].set(vals, mode="drop")
+        gi = gi.at[tgt].set(gids, mode="drop")
+        return gv, gi
+
+    init = (jnp.full((n_pad, r + 1), BIG, jnp.float32),
+            jnp.full((n_pad, r + 1), -1, jnp.int32))
+    return jax.lax.fori_loop(0, ncl, body, init)
+
+
+@functools.partial(jax.jit, static_argnames=("r",))
+def _merge_dedup(v1, i1, v2, i2, *, r):
+    """Merge two candidate sets per row, dedup by id, keep best r."""
+    av = jnp.concatenate([v1, v2], axis=1)
+    ai = jnp.concatenate([i1, i2], axis=1)
+    order = jnp.argsort(ai, axis=1)
+    si = jnp.take_along_axis(ai, order, axis=1)
+    sv = jnp.take_along_axis(av, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((ai.shape[0], 1), bool), si[:, 1:] == si[:, :-1]],
+        axis=1)
+    sv = jnp.where(dup | (si < 0), BIG, sv)
+    nv, sel = jax.lax.top_k(-sv, r)
+    nv = -nv
+    out_i = jnp.take_along_axis(si, sel, axis=1)
+    return jnp.where(nv >= BIG, -1, out_i).astype(jnp.int32), nv
 
 
 @jax.jit
@@ -271,13 +363,49 @@ class HNSWIndex(RetrievalModel):
                               ).astype(jnp.float32)
         return x, norms, valid_pen, n_pad, ic
 
+    def _clustered_knn(self, x, norms, end: int, metric: str
+                       ) -> jnp.ndarray:
+        """Approximate kNN graph from two overlapping kmeans partitions:
+        each row's candidates are the exact kNN inside its top-1 and
+        top-2 clusters, merged + deduped.  O(N·capm·d) — the only build
+        that finishes at multi-million rows (exact is O(N²d))."""
+        from gamma_tpu.ops import kmeans as km
+        r = self.nlinks
+        ncl = max(64, _ceil(end, CLUSTER_TARGET) // CLUSTER_TARGET)
+        capm = _ceil(min(16384, int(CLUSTER_CAP_X * end / ncl) + 64), 128)
+        stride = max(1, end // min(end, 48 * ncl))
+        sample = x[:end:stride].astype(jnp.float32)
+        cents, _ = km.kmeans(sample, ncl, iters=4, seed=end)
+        cnorms = l2_norms(cents)
+        n_pad = x.shape[0]
+        chunk = n_pad
+        for c in (8192, 4096, 2048, 1024, 512, 256, 128):
+            if n_pad % c == 0:
+                chunk = c
+                break
+        assign2 = _assign_top2(x, cents, cnorms, chunk=chunk)  # [n_pad, 2]
+        valid = jnp.arange(n_pad) < end
+        passes = []
+        for pi in range(2):
+            members = _group_members(assign2[:, pi], valid,
+                                     ncl=ncl, capm=capm)
+            passes.append(_cluster_pass(x, norms, members,
+                                        r=r, metric=metric, ncl=ncl))
+        ids, _ = _merge_dedup(passes[0][0], passes[0][1],
+                              passes[1][0], passes[1][1], r=r)
+        return ids
+
     def _knn_out_links(self, x, norms, valid_pen, n_pad, ic, row0: int,
                        end: int, metric: str) -> jnp.ndarray:
         """α-pruned out-links for rows [row0, end) (row0 chunk-aligned)."""
-        n_chunks = _ceil(end - row0, BUILD_CHUNK) // BUILD_CHUNK
-        links = _build_knn(x, norms, valid_pen, jnp.int32(row0),
-                           r=self.nlinks, metric=metric,
-                           n_chunks=n_chunks, n_inner=n_pad // ic, ic=ic)
+        if end > CLUSTER_BUILD_N and row0 == 0:
+            links = self._clustered_knn(x, norms, end, metric)
+        else:
+            n_chunks = _ceil(end - row0, BUILD_CHUNK) // BUILD_CHUNK
+            links = _build_knn(x, norms, valid_pen, jnp.int32(row0),
+                               r=self.nlinks, metric=metric,
+                               n_chunks=n_chunks, n_inner=n_pad // ic,
+                               ic=ic)
         if self.alpha > 1.0 and metric == "l2":
             # prune in chunks to bound the [c, r, r] intermediate
             pruned = []
@@ -385,7 +513,12 @@ class HNSWIndex(RetrievalModel):
         # covered at search time by the flat tail scan once they flush.
         build_hi = min(hi, self.store.flushed)
         if build_hi > max(4 * self.nlinks, int(self.n_nodes * 1.25)):
-            if self.n_nodes >= INCR_THRESHOLD:
+            if build_hi > CLUSTER_BUILD_N:
+                # at multi-100k scale a FULL clustered rebuild is
+                # O(N·capm·d) — cheaper than exact new-vs-all and keeps
+                # graph quality; amortized over 1.25x growth steps
+                self._bulk_build(build_hi)
+            elif self.n_nodes >= INCR_THRESHOLD:
                 self._incremental_build(build_hi)
             else:
                 self._bulk_build(build_hi)

@@ -182,3 +182,28 @@ def test_incremental_growth(corpus_small, rng, monkeypatch):
     docs = np.asarray(docs)
     found = np.mean([(docs[i] >= n0).any() for i in range(8)])
     assert found >= 0.8, found
+
+
+def test_clustered_build_recall(corpus_small, rng, monkeypatch):
+    """Past CLUSTER_BUILD_N the graph builds from overlapping kmeans
+    partitions; search recall must stay close to the exact-join build."""
+    import gamma_tpu.index.hnsw as hnsw_mod
+    monkeypatch.setattr(hnsw_mod, "CLUSTER_BUILD_N", 500)
+    monkeypatch.setattr(hnsw_mod, "CLUSTER_TARGET", 256)
+    store, idx = _build(corpus_small)
+    n = store.n
+    links = np.asarray(idx.links[:n])
+    assert (links[:, : idx.nlinks] >= 0).any(axis=1).mean() > 0.98
+    q_idx = rng.choice(n, 32, replace=False)
+    q = jnp.asarray(store.header(0, n)[q_idx])
+    pen = jnp.zeros(n + 64, jnp.float32)
+    sp = SearchParams.from_dict({"efSearch": 64})
+    _, docs, _ = idx.search(q, pen, sp, 10)
+    docs = np.asarray(docs)
+    x = store.header(0, n)
+    hits = 0
+    for i, qi in enumerate(q_idx):
+        d2 = np.sum((x - x[qi]) ** 2, axis=1)
+        gt = set(np.argsort(d2)[:10].tolist())
+        hits += len(gt & set(docs[i].tolist()))
+    assert hits / (32 * 10) >= 0.8, hits / 320
