@@ -171,3 +171,46 @@ def test_trained_index_snapshot_in_commit(tmp_path):
                             retrieval_params={"recall_num": 50}))
     assert r.results[0].result_items[0].docid == 17
     eng2.close()
+
+
+def test_bulk_restore_1m_under_5s(tmp_path):
+    """Restore speed contract: a 1M-row native column restore (numeric +
+    string columns + doc keys) completes in < 5 s — the batch string ops
+    (gsm_get_strs) replace the per-row ctypes path that spent minutes at
+    10M rows.  Skipped when the native lib is absent."""
+    import time
+    from gamma_tpu import native
+    from gamma_tpu.config import DataType, FieldInfo
+    from gamma_tpu.storage.native_backend import ColumnStore
+    from gamma_tpu.table.table import Table
+
+    if not native.available():
+        import pytest
+        pytest.skip("libgamma_host.so not built")
+    n = 1_000_000
+    fields = [FieldInfo("price", DataType.FLOAT, is_index=True),
+              FieldInfo("tag", DataType.STRING, is_index=True)]
+    t = Table(fields)
+    t._grow(n)
+    t.columns["price"][:n] = np.arange(n, dtype=np.float32)
+    t.heaps["tag"].put_all(0, [b"tag%d" % (i % 64) for i in range(n)])
+    t.doc_keys = [f"k{i}" for i in range(n)]
+    t.n = n
+    cs = ColumnStore(str(tmp_path), fields)
+    t0 = time.time()
+    cs.flush(t)
+    flush_s = time.time() - t0
+    cs.sync()
+    cs.close()
+
+    cs2 = ColumnStore(str(tmp_path), fields)
+    t2 = Table(fields)
+    t0 = time.time()
+    assert cs2.load_into(t2, n) == n
+    restore_s = time.time() - t0
+    print(f"\n1M restore: {restore_s:.2f}s (flush {flush_s:.2f}s)")
+    assert restore_s < 5.0, f"restore took {restore_s:.2f}s"
+    assert t2.columns["price"][123456] == 123456.0
+    assert t2.heaps["tag"].get(7) == "tag7"
+    assert t2.doc_keys[999999] == "k999999"
+    cs2.close()
