@@ -148,28 +148,34 @@ class ColumnStore:
 
 
 class VectorPersist:
-    """Native-segment persistence for one raw-vector field (f32 rows)."""
+    """Native-segment persistence for one raw-vector field.  Rows persist
+    in the store's host dtype — with the f16 compression tier the on-disk
+    segments are half-width too (the disk-size role of the reference's
+    ZFP block compression, storage/compress/compressor_zfp.h)."""
 
-    def __init__(self, directory: str, name: str, d: int):
+    def __init__(self, directory: str, name: str, d: int,
+                 dtype=np.float32):
         assert native.available()
         self.d = d
+        self.dtype = np.dtype(dtype)
         self.store = native.NativeStorage(
-            directory, f"vec_{name}", item_size=d * 4,
+            directory, f"vec_{name}", item_size=d * self.dtype.itemsize,
             segment_items=SEG_ITEMS)
 
     def __len__(self) -> int:
         return len(self.store)
 
     def append(self, rows: np.ndarray) -> None:
-        self.store.add(np.ascontiguousarray(rows, dtype=np.float32))
+        self.store.add(np.ascontiguousarray(rows, dtype=self.dtype))
 
     def update(self, vid: int, row: np.ndarray) -> None:
         self.store.update(
-            vid, np.ascontiguousarray(row, dtype=np.float32))
+            vid, np.ascontiguousarray(row, dtype=self.dtype))
 
     def read(self, start: int, count: int) -> np.ndarray:
-        return self.store.get_range(start, count,
-                                    np.float32).reshape(-1, self.d)
+        return self.store.get_range(start, count, self.dtype
+                                    ).reshape(-1, self.d).astype(
+                                        np.float32)
 
     def sync(self) -> None:
         self.store.sync()

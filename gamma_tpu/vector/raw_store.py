@@ -156,7 +156,8 @@ class RawVectorStore:
 
     def attach_persist(self, directory: str) -> None:
         from gamma_tpu.storage.native_backend import VectorPersist
-        self._persist = VectorPersist(directory, self.name, self.d)
+        self._persist = VectorPersist(directory, self.name, self.d,
+                                      dtype=self.host_dtype)
 
     def flush_storage(self) -> int:
         """Append host rows not yet in the native segments (called at
