@@ -22,6 +22,7 @@ Smaller-is-better everywhere; IP scores are negated.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -76,12 +77,27 @@ def _candidate_mask_validity(docids_g, lens_g, cap, live_n):
 
 def _select_candidates(dist, docids_g, vids_g, recall_num):
     b = dist.shape[0]
+    width = math.prod(dist.shape[1:])
     flat = dist.reshape(b, -1)
-    ids = jnp.broadcast_to(
-        jnp.arange(flat.shape[1], dtype=jnp.int32)[None, :], flat.shape)
-    rd, ridx = topk_min(flat, ids, recall_num)
-    rdoc = jnp.take_along_axis(docids_g.reshape(b, -1), ridx, axis=1)
-    rvid = jnp.take_along_axis(vids_g.reshape(b, -1), ridx, axis=1)
+    doc_f = docids_g.reshape(b, -1)
+    vid_f = vids_g.reshape(b, -1)
+    if width > 16384:
+        # ApproxTopK custom call: the exact lax.top_k sort over the
+        # [B, P*cap] candidate axis costs ~30x the ADC kernel at the
+        # SIFT1M gather geometry.  Keep the PROBE-MAJOR flatten: within
+        # a list, positions are insertion-ordered (not distance-
+        # ordered), so a hot list's true neighbors occupy many distinct
+        # bin positions; a measured cap-major transpose ALIASED each
+        # list onto few bins (P-strided) and halved recall.  The exact
+        # rerank downstream absorbs the residual approximation.
+        rd, ridx = jax.lax.approx_min_k(flat, recall_num,
+                                        recall_target=0.99)
+    else:
+        ids = jnp.broadcast_to(
+            jnp.arange(width, dtype=jnp.int32)[None, :], flat.shape)
+        rd, ridx = topk_min(flat, ids, recall_num)
+    rdoc = jnp.take_along_axis(doc_f, ridx, axis=1)
+    rvid = jnp.take_along_axis(vid_f, ridx, axis=1)
     # re-poison: masked candidates keep BIG dist and -1 ids
     dead = rd >= BIG
     return rd, jnp.where(dead, -1, rdoc), jnp.where(dead, -1, rvid)
