@@ -176,6 +176,10 @@ class IVFPQParams:
     training_threshold: int = 0        # 0 → derived from indexing_size
     # "auto" | "dense" | "gather" — see gamma_tpu/index/ivfpq.py docstring
     scan_mode: str = "auto"
+    # capacity-tier posting payload: "sq8" (residual int8 sidecar, exact
+    # scan, no rerank — ops/pallas_gsq.py) | "pq" (M-byte ADC scan, the
+    # extreme-capacity format); "" → the model's default
+    gather_payload: str = ""
 
     @staticmethod
     def from_dict(d: Optional[Dict[str, Any]]) -> "IVFPQParams":
@@ -197,6 +201,7 @@ class IVFPQParams:
         p.bucket_max_size = int(d.get("bucket_max_size", p.bucket_max_size))
         p.training_threshold = int(d.get("training_threshold", 0))
         p.scan_mode = str(d.get("scan_mode", "auto"))
+        p.gather_payload = str(d.get("gather_payload", ""))
         return p
 
 

@@ -56,6 +56,37 @@ TRAIN_MAX_PER_LIST = 256
 RECON_ROW_PAD = 8192        # reconstruction-mirror growth quantum
 # auto mode: dense while the bf16 reconstruction mirror stays under this
 DENSE_BYTES_BUDGET = 8 << 30
+# residual-SQ8 gather payload (ops/pallas_gsq.py): maintained while its
+# padded [nlist, cap, d] sidecar stays under this; beyond it the gather
+# tier falls back to the M-byte ADC scan (the extreme-capacity format)
+SQ_BYTES_BUDGET = 6 << 30
+
+
+@functools.partial(jax.jit, static_argnames=("d_pad", "has_rot"))
+def _sq_encode_batch(xp, rot, cents, assign, scale, off, *, d_pad: int,
+                     has_rot: bool):
+    """Residual-SQ8 encode of a padded ingest batch (ops/pallas_gsq.py):
+    rotate → take coarse rows for the batch's EXISTING assignment →
+    int8-quantize the residual.  → (codes [n_pad, d_pad] u8,
+    norms [n_pad] f32)."""
+    from gamma_tpu.ops.pallas_gsq import encode_sq
+    xf = xp.astype(jnp.float32)
+    if has_rot:
+        xf = xf @ rot
+    coarse = jnp.take(cents, jnp.clip(assign, 0, cents.shape[0] - 1),
+                      axis=0)
+    return encode_sq(xf, scale, off, coarse, d_pad=d_pad, residual=True)
+
+
+@jax.jit
+def _sq_append(sq_codes, sq_norms, assign, positions, vids, codes, norms):
+    """Scatter a placed batch into the SQ8 sidecar (same (list, pos)
+    slots as the posting append; -1 padding remapped — scatter
+    mode="drop" does not drop negative indices, they wrap)."""
+    li = jnp.where(vids < 0, 0x40000000, assign)
+    pos = jnp.where(positions < 0, 0x40000000, positions)
+    return (sq_codes.at[li, pos].set(codes, mode="drop"),
+            sq_norms.at[li, pos].set(norms, mode="drop"))
 
 
 @jax.jit
@@ -206,6 +237,9 @@ def _assign_chunked(x: jnp.ndarray, cents: jnp.ndarray,
 @register_model("IVFPQ")
 class IVFPQIndex(RetrievalModel):
     _dump_suffix = "ivfpq"
+    # capacity-tier payload default; FastScan/ScaNN override to "pq"
+    # (their whole point is the sub-byte/anisotropic code format)
+    _sq_payload_default = "sq8"
 
     def __init__(self, raw_store: RawVectorStore,
                  params: Optional[Dict[str, Any]] = None):
@@ -242,6 +276,16 @@ class IVFPQIndex(RetrievalModel):
         # operand keeps the whole chain fused into the TopK custom call
         # (two operands force a 2x [B, N] HBM materialization; +45%/batch)
         self.recon_bias = jnp.full((rows0,), BIG, jnp.float32)
+        # residual-SQ8 gather payload (ops/pallas_gsq.py): slot-aligned
+        # int8 sidecar + exact f32 norms; allocated at train time, grown
+        # with the posting state, dropped past SQ_BYTES_BUDGET
+        self.sq_payload = (self.p.gather_payload
+                           or type(self)._sq_payload_default)
+        self.sq_codes: Optional[jnp.ndarray] = None   # [nlist, cap, d_pad]
+        self.sq_norms: Optional[jnp.ndarray] = None   # [nlist, cap]
+        self.sq_scale: Optional[jnp.ndarray] = None   # [d]
+        self.sq_off: Optional[jnp.ndarray] = None
+        self._max_len = 0          # live list-length watermark (host)
 
     def _code_width(self) -> int:
         """Posting-payload bytes per vector (FastScan overrides: packed
@@ -277,7 +321,64 @@ class IVFPQIndex(RetrievalModel):
                                   nbits=self.p.nbits_per_idx, iters=12)
         if self.p.has_opq:
             self._refine_opq(xd, residuals)
+        if self.sq_payload == "sq8":
+            # fit the SQ8 range on FINAL-rotation residuals
+            xr = self._rotate(jnp.asarray(x))
+            a = _assign_chunked(xr, self.centroids, self.cent_norms)
+            self._sq_init(xr - jnp.take(self.centroids, a, axis=0))
         self._trained = True
+
+    # ---- residual-SQ8 gather payload (ops/pallas_gsq.py) ----
+
+    @property
+    def _sq_d_pad(self) -> int:
+        return -(-self.d // 128) * 128        # lane-aligned code width
+
+    @property
+    def sq_active(self) -> bool:
+        return self.sq_codes is not None
+
+    def _sq_init(self, residuals: jnp.ndarray) -> None:
+        from gamma_tpu.ops.pallas_gsq import train_sq
+        self.sq_scale, self.sq_off = train_sq(residuals)
+        nlist, cap = self.state.nlist, self.state.cap
+        if nlist * cap * (self._sq_d_pad + 4) > SQ_BYTES_BUDGET:
+            self._sq_drop("init")
+            return
+        self.sq_codes = jnp.zeros((nlist, cap, self._sq_d_pad), jnp.uint8)
+        self.sq_norms = jnp.zeros((nlist, cap), jnp.float32)
+
+    def _sq_drop(self, why: str) -> None:
+        if self.sq_codes is not None or why == "init":
+            import logging
+            logging.getLogger("gamma_tpu").warning(
+                "SQ8 gather payload dropped (%s): sidecar would exceed "
+                "%d MB — gather tier falls back to the ADC scan",
+                why, SQ_BYTES_BUDGET >> 20)
+        self.sq_codes = None
+        self.sq_norms = None
+
+    def _sq_grow(self, new_cap: int) -> None:
+        if self.sq_codes is None:
+            return
+        nlist = self.state.nlist
+        if nlist * new_cap * (self._sq_d_pad + 4) > SQ_BYTES_BUDGET:
+            self._sq_drop("grow")
+            return
+        pad = new_cap - self.sq_codes.shape[1]
+        self.sq_codes = jnp.pad(self.sq_codes, ((0, 0), (0, pad), (0, 0)))
+        self.sq_norms = jnp.pad(self.sq_norms, ((0, 0), (0, pad)))
+
+    def _cap_eff(self) -> int:
+        """Static scan capacity for the gather tier: the smallest
+        power-of-two ladder step covering the live list-length watermark
+        (bounds compiled shapes; dead capacity beyond it would still
+        cost gather/mask/select work — ~4x at typical fill)."""
+        cap = self.state.cap
+        ce = 256
+        while ce < self._max_len:
+            ce *= 2
+        return min(ce, cap)
 
     def _train_opq_init(self, x: jnp.ndarray) -> jnp.ndarray:
         """OPQ rotation init: PCA-orthonormal basis (reference trains a
@@ -393,7 +494,8 @@ class IVFPQIndex(RetrievalModel):
             return
         _t = {}
         _t0 = _time.perf_counter()
-        assign, codes, recon, rnorms = self._encode_device(x)
+        xp = self._pad_batch(x)
+        assign, codes, recon, rnorms = self._encode_core(xp)
         _t["encode"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         n_pad = codes.shape[0]
@@ -423,8 +525,24 @@ class IVFPQIndex(RetrievalModel):
             # positions stay valid across growth: they depend on lens,
             # not cap
             self.state = rt.grow(self.state, new_cap)
+            self._sq_grow(new_cap)
             self.placer.cap = new_cap
+        self._max_len = max(self._max_len, need)
         _t["place"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+        if self.sq_active:
+            # SQ8 sidecar scatter BEFORE the posting publish: a search
+            # between the two sees consistent state either way (rows
+            # become scannable only once the posting entry lands)
+            sqc, sqn = _sq_encode_batch(
+                xp, self.opq_rot if self.opq_rot is not None
+                else jnp.zeros((0, 0), jnp.float32),
+                self.centroids, assign, self.sq_scale, self.sq_off,
+                d_pad=self._sq_d_pad, has_rot=self.opq_rot is not None)
+            self.sq_codes, self.sq_norms = _sq_append(
+                self.sq_codes, self.sq_norms, assign, positions, vids_d,
+                sqc, sqn)
+        _t["sq"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         if self.keep_recon:
             self._grow_recon(int(np.max(vids)) + 1)
@@ -505,10 +623,17 @@ class IVFPQIndex(RetrievalModel):
         self._drain_place()
         if self.placer.deleted_fraction() < threshold:
             return
-        self.state = rt.compact_state(self.state)
+        if self.sq_active:
+            self.state, (self.sq_codes, self.sq_norms) = \
+                rt.compact_state_with(
+                    self.state, (self.sq_codes, self.sq_norms))
+        else:
+            self.state = rt.compact_state(self.state)
+        lens_np = np.asarray(self.state.lens)
+        self._max_len = int(lens_np.max(initial=0))
         self.placer.resync_after_compact(
             np.asarray(self.state.docids), np.asarray(self.state.vids),
-            np.asarray(self.state.lens))
+            lens_np)
 
     # ---- search ----
 
@@ -648,6 +773,17 @@ class IVFPQIndex(RetrievalModel):
         nprobe = min(sp.nprobe or self.p.nprobe, self.p.ncentroids)
         scan_impl = ("pallas" if jax.default_backend() == "tpu"
                      else "xla")
+        if self.sq_active:
+            # residual-SQ8 exact scan: top-k straight out of the select,
+            # no recall heap, no rerank row gather (ops/pallas_gsq.py)
+            live_n = (None if validity_n is None
+                      else self._live_n_scalar(validity_n))
+            d_out, docs, vids = ivf_scan.ivfsq_search(
+                self.state, self.sq_codes, self.sq_norms, self.sq_scale,
+                self.sq_off, self.centroids, self.cent_norms, q, penalty,
+                dist_range, live_n, nprobe=nprobe, k=k, metric=metric,
+                scan_impl=scan_impl, cap_eff=self._cap_eff())
+            return d_out, docs, vids
         return self._gather_exec(ivf_scan.ivfpq_search, q, queries,
                                  penalty, sp, k, recall_num, metric,
                                  dist_range, nprobe, scan_impl,
@@ -661,6 +797,12 @@ class IVFPQIndex(RetrievalModel):
         if not self._trained:
             np.savez(f, trained=np.array(0))
             return
+        extra = {}
+        if self.sq_active:
+            extra = dict(sq_codes=np.asarray(self.sq_codes),
+                         sq_norms=np.asarray(self.sq_norms),
+                         sq_scale=np.asarray(self.sq_scale),
+                         sq_off=np.asarray(self.sq_off))
         np.savez(
             f,
             trained=np.array(1),
@@ -673,6 +815,7 @@ class IVFPQIndex(RetrievalModel):
             docids=np.asarray(self.state.docids),
             lens=np.asarray(self.state.lens),
             indexed_count=np.array(self.indexed_count),
+            **extra,
         )
 
     def load(self, path: str) -> int:
@@ -696,6 +839,16 @@ class IVFPQIndex(RetrievalModel):
             z["docids"], z["vids"], z["lens"])
         self._pending_place = []     # pre-load placements are stale
         self.indexed_count = int(z["indexed_count"])
+        self._max_len = int(np.asarray(z["lens"]).max(initial=0))
+        if "sq_codes" in z.files and self.sq_payload == "sq8":
+            self.sq_codes = jnp.asarray(z["sq_codes"])
+            self.sq_norms = jnp.asarray(z["sq_norms"])
+            self.sq_scale = jnp.asarray(z["sq_scale"])
+            self.sq_off = jnp.asarray(z["sq_off"])
+        else:
+            # older dump without the sidecar: gather tier uses the ADC
+            # scan until a retrain/rebuild
+            self.sq_codes = self.sq_norms = None
         self._trained = True
         self._rebuild_recon()
         return self.indexed_count
@@ -735,6 +888,8 @@ class IVFPQIndex(RetrievalModel):
         m = self.state.mem_bytes()
         m += self.recon.size * self.recon.dtype.itemsize + self.recon_norms.size * 4
         m += self.recon_valid.size * 4 + self.recon_bias.size * 4
+        if self.sq_active:
+            m += self.sq_codes.size + self.sq_norms.size * 4
         if self.centroids is not None:
             m += self.centroids.size * 4
         if self.pq is not None:

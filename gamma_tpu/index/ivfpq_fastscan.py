@@ -78,6 +78,9 @@ def _encode_fastscan(x, cents, cnorms, cb, cb_norms, rot, *, d, has_rot,
 @register_model("IVFPQ_FASTSCAN")
 class IVFPQFastScanIndex(IVFPQIndex):
     _dump_suffix = "ivfpqfs"
+    # packed 4-bit codes ARE this model's capacity payload; the SQ8
+    # sidecar would never be scanned (search overrides the gather path)
+    _sq_payload_default = "pq"
 
     def __init__(self, raw_store: RawVectorStore,
                  params: Optional[Dict[str, Any]] = None):

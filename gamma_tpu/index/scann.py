@@ -55,6 +55,8 @@ def _encode_scann(x, cents, cnorms, cb, cb_norms, rot, *, d, has_rot,
 @register_model("SCANN")
 class ScaNNIndex(IVFPQIndex):
     _dump_suffix = "scann"
+    # anisotropic codes are the model's point; keep the ADC gather path
+    _sq_payload_default = "pq"
 
     def __init__(self, raw_store: RawVectorStore,
                  params: Optional[Dict[str, Any]] = None):

@@ -57,10 +57,15 @@ def _gather_lists(state: IVFState, list_ids: jnp.ndarray):
 
 
 def _candidate_mask_penalty(docids_g, lens_g, cap, penalty):
+    # docid >= 0 must be explicit: take mode="fill" does NOT fill
+    # negative indices — they wrap (CLAUDE.md invariant), so a
+    # tombstoned slot (docid -1) would read penalty[-1] and survive.
+    # (The ADC path re-masked tombstones at rerank via recon_valid;
+    # the no-rerank SQ8 path has only this mask.)
     pos = jnp.arange(cap, dtype=jnp.int32)
-    in_len = pos[None, None, :] < lens_g[..., None]
+    ok = (pos[None, None, :] < lens_g[..., None]) & (docids_g >= 0)
     pen = jnp.take(penalty, docids_g, mode="fill", fill_value=BIG)
-    return jnp.where(in_len, pen, BIG)
+    return jnp.where(ok, pen, BIG)
 
 
 def _candidate_mask_validity(docids_g, lens_g, cap, live_n):
@@ -307,6 +312,91 @@ def ivfpqfs_search(state: IVFState,           # codes packed [nlist,cap,M/2]
     qr = queries if queries_raw is None else queries_raw
     return _rerank(qr, rd, rdoc, rvid, raw_vectors, penalty, k, metric,
                    dist_range)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nprobe", "k", "metric", "scan_impl", "cap_eff"))
+def ivfsq_search(state: IVFState,             # posting ids/lens (codes unused)
+                 sq_codes: jnp.ndarray,       # [nlist, cap, d_pad] u8
+                 sq_norms: jnp.ndarray,       # [nlist, cap] f32
+                 sq_scale: jnp.ndarray,       # [d] f32
+                 sq_off: jnp.ndarray,         # [d] f32
+                 centroids: jnp.ndarray,      # [nlist, d] f32
+                 cent_norms: jnp.ndarray,     # [nlist] f32
+                 queries: jnp.ndarray,        # [B, d] (pre-rotated if OPQ)
+                 penalty: jnp.ndarray,        # [N_cap] f32
+                 dist_range: Optional[jnp.ndarray] = None,   # [2] f32
+                 live_n: Optional[jnp.ndarray] = None,       # scalar i32
+                 *, nprobe: int, k: int, metric: str = "l2",
+                 scan_impl: str = "xla", cap_eff: int = 0):
+    """Residual-SQ8 capacity search (ops/pallas_gsq.py): scan distances
+    are EXACT distances to the int8-dequantized points, so top-k is
+    selected directly — no recall_num heap, no exact-rerank row gather
+    (the reference's compute_dis re-read, gamma_index_ivfpq.cc:642-697,
+    is the TPU capacity path's wall: ~0.9 us per random row).
+
+    cap_eff (static) slices the scan to the live capacity watermark:
+    lists never exceed max(lens), so slots beyond it are dead padding
+    that would still cost gather/mask/select work.
+    → (dists [B, k] f32, docids [B, k] i32, vids [B, k] i32)."""
+    cap = state.cap
+    if cap_eff and cap_eff < cap:
+        sq_codes = sq_codes[:, :cap_eff]
+        sq_norms = sq_norms[:, :cap_eff]
+        state = state._replace(vids=state.vids[:, :cap_eff],
+                               docids=state.docids[:, :cap_eff])
+        cap = cap_eff
+    cd, list_ids = coarse_assign(queries, centroids, cent_norms,
+                                 nprobe, metric)
+    vids_g = jnp.take(state.vids, list_ids, axis=0)       # [B, P, cap]
+    docids_g = jnp.take(state.docids, list_ids, axis=0)
+    lens_g = jnp.take(state.lens, list_ids, axis=0)
+
+    if scan_impl == "pallas":
+        from gamma_tpu.ops.pallas_gsq import grouped_sq_scan
+        raw_dist = grouped_sq_scan(sq_codes, sq_norms, state.lens,
+                                   list_ids, queries, sq_scale, sq_off,
+                                   centroids=centroids, metric=metric)
+    else:
+        # portable XLA formulation (CPU tests / small shapes): gather +
+        # dequantize + einsum — materializes [B, P, cap, d], fine off-TPU
+        qf = queries.astype(jnp.float32)
+        cg = jnp.take(sq_codes, list_ids, axis=0).astype(jnp.float32)
+        d = qf.shape[1]
+        deq = (sq_off[None, None, None, :]
+               + sq_scale[None, None, None, :] * cg[..., :d])
+        x = deq + jnp.take(centroids, list_ids, axis=0)[:, :, None, :]
+        qx = jnp.einsum("bd,bpcd->bpc", qf, x,
+                        precision=jax.lax.Precision.HIGHEST)
+        nrm_g = jnp.take(sq_norms, list_ids, axis=0)
+        if metric == "ip":
+            raw_dist = -qx
+        else:
+            qn = jnp.sum(qf * qf, axis=-1)
+            raw_dist = qn[:, None, None] - 2.0 * qx + nrm_g
+    mask = (_candidate_mask_validity(docids_g, lens_g, cap, live_n)
+            if live_n is not None else
+            _candidate_mask_penalty(docids_g, lens_g, cap, penalty))
+    dist = raw_dist + mask
+    if dist_range is not None:
+        dist = jnp.where((raw_dist < dist_range[0])
+                         | (raw_dist > dist_range[1]), BIG, dist)
+    dist = jnp.minimum(dist, BIG)
+
+    # EXACT select: distances are near-exact, and at this width the
+    # full top-k costs only ~6 ms more than ApproxTopK while removing
+    # its bin-collision recall loss (clustered true neighbors sharing a
+    # hot list alias into the same contiguous bins; measured -2pts)
+    b = dist.shape[0]
+    flat = dist.reshape(b, -1)
+    ids = jnp.broadcast_to(
+        jnp.arange(flat.shape[1], dtype=jnp.int32)[None, :], flat.shape)
+    rd, ridx = topk_min(flat, ids, k)
+    rdoc = jnp.take_along_axis(docids_g.reshape(b, -1), ridx, axis=1)
+    rvid = jnp.take_along_axis(vids_g.reshape(b, -1), ridx, axis=1)
+    dead = rd >= BIG
+    return rd, jnp.where(dead, -1, rdoc), jnp.where(dead, -1, rvid)
 
 
 # ---------------------------------------------------------------------

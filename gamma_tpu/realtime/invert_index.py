@@ -141,6 +141,29 @@ def compact_state(state: IVFState) -> IVFState:
     return IVFState(codes, vids, docids, lens)
 
 
+@jax.jit
+def compact_state_with(state: IVFState, extras: Tuple[jnp.ndarray, ...]
+                       ) -> Tuple[IVFState, Tuple[jnp.ndarray, ...]]:
+    """compact_state plus sidecar arrays (leading dims [nlist, cap, ...])
+    permuted by the SAME per-list order — used for the SQ8 payload that
+    must stay slot-aligned with the posting lists."""
+    cap = state.cap
+    positions = jnp.arange(cap, dtype=jnp.int32)
+
+    def one_list(codes_l, vids_l, docids_l, len_l, extras_l):
+        live = (docids_l >= 0) & (positions < len_l)
+        order = jnp.argsort(jnp.where(live, positions, cap + positions))
+        return (codes_l[order],
+                jnp.where(live[order], vids_l[order], -1),
+                jnp.where(live[order], docids_l[order], -1),
+                jnp.sum(live).astype(jnp.int32),
+                tuple(e[order] for e in extras_l))
+
+    codes, vids, docids, lens, extras_out = jax.vmap(one_list)(
+        state.codes, state.vids, state.docids, state.lens, extras)
+    return IVFState(codes, vids, docids, lens), extras_out
+
+
 # ----------------------------------------------------------------------
 # Host-side placement (single-writer control plane)
 # ----------------------------------------------------------------------
