@@ -66,6 +66,10 @@ class EngineConfig:
     # disk-tier row-block LRU capacity, runtime-alterable via SetConfig
     # (reference: AlterCacheSize, gamma_engine.cc:1366-1382)
     vector_cache_mb: int = 64
+    # zstd block compression of the persisted table columns (reference:
+    # storage/compress/compressor_zstd.h table blocks); vector-segment
+    # compression is per-field via store_param {"compress": "zstd"}
+    compress_table_blocks: bool = False
 
     def to_json(self) -> str:
         return json.dumps(_asdict(self))

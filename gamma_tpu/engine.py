@@ -138,7 +138,10 @@ class GammaEngine:
         persist_dir = None
         if self._native_persist:
             persist_dir = os.path.join(self.config.path, "store")
-            self.table.attach_native(persist_dir)
+            self.table.attach_native(
+                persist_dir,
+                compress=bool(getattr(self.config,
+                                      "compress_table_blocks", False)))
         self.vm.create_vector_table(info, persist_dir=persist_dir)
         for store in self.vm.stores.values():
             store.set_cache_bytes(self.config.vector_cache_mb << 20)

@@ -68,6 +68,17 @@ def _load() -> Optional[ctypes.CDLL]:
         "gbm_fill_bytes": ([vp, ctypes.c_void_p, i64], ctypes.c_int),
         "gbm_sync": ([vp], ctypes.c_int),
         "gbm_close": ([vp], None),
+        "gzb_open": ([c, c, i64, i64, i64], vp),
+        "gzb_rows": ([vp], i64),
+        "gzb_add": ([vp, ctypes.c_void_p, i64], ctypes.c_int),
+        "gzb_get": ([vp, i64, i64, ctypes.c_void_p], ctypes.c_int),
+        "gzb_update": ([vp, i64, ctypes.c_void_p], ctypes.c_int),
+        "gzb_truncate": ([vp, i64], ctypes.c_int),
+        "gzb_sync": ([vp], ctypes.c_int),
+        "gzb_comp_bytes": ([vp], i64),
+        "gzb_set_cache_blocks": ([vp, i64], ctypes.c_int),
+        "gzb_cache_stats": ([vp, ctypes.c_void_p], i64),
+        "gzb_close": ([vp], None),
         "gkm_new": ([], vp),
         "gkm_free": ([vp], None),
         "gkm_put": ([vp, c, i64, i64], i64),
@@ -197,6 +208,76 @@ class NativeStorage:
     def close(self) -> None:
         if self._h:
             self._lib.gsm_close(self._h)
+            self._h = None
+
+
+class ZBlockStorage:
+    """zstd block-compressed row store (reference: storage/compress/
+    compressor_zstd.h + the Block/LRUCache read path, storage/block.h:36,
+    storage/lru_cache.h:332).  Rows append into a raw tail; full blocks
+    seal as immutable zstd frames; point updates overlay; reads
+    decompress whole blocks through a native LRU."""
+
+    def __init__(self, directory: str, name: str, row_bytes: int,
+                 rows_per_block: int = 4096, cache_blocks: int = 32):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("libgamma_host.so not built")
+        self._lib = lib
+        os.makedirs(directory, exist_ok=True)
+        self.row_bytes = row_bytes
+        self._h = lib.gzb_open(directory.encode(), name.encode(),
+                               row_bytes, rows_per_block, cache_blocks)
+        if not self._h:
+            raise RuntimeError("gzb_open failed")
+
+    def __len__(self) -> int:
+        return int(self._lib.gzb_rows(self._h))
+
+    def add(self, rows: np.ndarray) -> None:
+        rows = np.ascontiguousarray(rows)
+        assert rows.nbytes % self.row_bytes == 0
+        n = rows.nbytes // self.row_bytes
+        if n and self._lib.gzb_add(
+                self._h, rows.ctypes.data_as(ctypes.c_void_p), n) != 0:
+            raise RuntimeError("gzb_add failed")
+
+    def get_range(self, start: int, count: int,
+                  dtype=np.uint8) -> np.ndarray:
+        out = np.empty(count * self.row_bytes, np.uint8)
+        if self._lib.gzb_get(
+                self._h, start, count,
+                out.ctypes.data_as(ctypes.c_void_p)) != 0:
+            raise IndexError(f"gzb_get({start},{count})")
+        return out.view(dtype)
+
+    def update(self, idx: int, row: np.ndarray) -> None:
+        row = np.ascontiguousarray(row)
+        assert row.nbytes == self.row_bytes
+        if self._lib.gzb_update(
+                self._h, idx, row.ctypes.data_as(ctypes.c_void_p)) != 0:
+            raise IndexError(f"gzb_update({idx})")
+
+    def truncate(self, n_rows: int) -> None:
+        self._lib.gzb_truncate(self._h, n_rows)
+
+    def sync(self) -> None:
+        self._lib.gzb_sync(self._h)
+
+    def comp_bytes(self) -> int:
+        return int(self._lib.gzb_comp_bytes(self._h))
+
+    def set_cache_blocks(self, n: int) -> None:
+        self._lib.gzb_set_cache_blocks(self._h, n)
+
+    def cache_stats(self) -> tuple:
+        misses = ctypes.c_int64(0)
+        hits = self._lib.gzb_cache_stats(self._h, ctypes.byref(misses))
+        return int(hits), int(misses.value)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.gzb_close(self._h)
             self._h = None
 
 

@@ -43,29 +43,38 @@ STR_BYTES_PER_SEG = 64 << 20
 class ColumnStore:
     """Native-segment persistence for a Table's columns + string heaps."""
 
-    def __init__(self, directory: str, fields: List[FieldInfo]):
+    def __init__(self, directory: str, fields: List[FieldInfo],
+                 compress: bool = False):
         assert native.available()
         os.makedirs(directory, exist_ok=True)
         self.dir = directory
         self.fields = fields
         self.numeric: Dict[str, native.NativeStorage] = {}
         self.handles: Dict[str, native.NativeStorage] = {}
+
+        def column(name: str, itemsize: int):
+            if compress:
+                # zstd-compressed table blocks (reference:
+                # storage/compress/compressor_zstd.h): ~64 KB raw blocks
+                # sealed as zstd frames, read through a block LRU
+                return native.ZBlockStorage(
+                    directory, name, row_bytes=itemsize,
+                    rows_per_block=max(1024, (64 << 10) // itemsize))
+            return native.NativeStorage(
+                directory, name, item_size=itemsize,
+                segment_items=SEG_ITEMS)
+
         # one shared string heap (rows unused: item_size=1, tiny row cap)
         self.heap = native.NativeStorage(
             directory, "tbl_strs", item_size=1, segment_items=64,
             str_bytes_per_seg=STR_BYTES_PER_SEG)
         for f in fields:
             if f.data_type == DataType.STRING:
-                self.handles[f.name] = native.NativeStorage(
-                    directory, f"tblh_{f.name}", item_size=8,
-                    segment_items=SEG_ITEMS)
+                self.handles[f.name] = column(f"tblh_{f.name}", 8)
             else:
                 itemsize = np.dtype(FIXED_WIDTH_NUMPY[f.data_type]).itemsize
-                self.numeric[f.name] = native.NativeStorage(
-                    directory, f"tbl_{f.name}", item_size=itemsize,
-                    segment_items=SEG_ITEMS)
-        self.keyh = native.NativeStorage(
-            directory, "tblh__dockey", item_size=8, segment_items=SEG_ITEMS)
+                self.numeric[f.name] = column(f"tbl_{f.name}", itemsize)
+        self.keyh = column("tblh__dockey", 8)
 
     # ---- write path ----
 
@@ -154,13 +163,23 @@ class VectorPersist:
     ZFP block compression, storage/compress/compressor_zfp.h)."""
 
     def __init__(self, directory: str, name: str, d: int,
-                 dtype=np.float32):
+                 dtype=np.float32, compress: bool = False):
         assert native.available()
         self.d = d
         self.dtype = np.dtype(dtype)
-        self.store = native.NativeStorage(
-            directory, f"vec_{name}", item_size=d * self.dtype.itemsize,
-            segment_items=SEG_ITEMS)
+        if compress:
+            # zstd block compression of the vector segments (reference:
+            # storage/compress/compressor_zfp.h vector blocks): sealed
+            # blocks are immutable zstd frames; updates overlay
+            rb = d * self.dtype.itemsize
+            self.store = native.ZBlockStorage(
+                directory, f"vec_{name}", row_bytes=rb,
+                rows_per_block=max(1024, (256 << 10) // rb))
+        else:
+            self.store = native.NativeStorage(
+                directory, f"vec_{name}",
+                item_size=d * self.dtype.itemsize,
+                segment_items=SEG_ITEMS)
 
     def __len__(self) -> int:
         return len(self.store)

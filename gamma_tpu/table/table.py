@@ -192,9 +192,11 @@ class Table:
     # ---- incremental native persistence (reference: StorageManager
     # segments + AsyncWriter; storage/storage_manager.h:57-120) ----
 
-    def attach_native(self, directory: str) -> None:
+    def attach_native(self, directory: str, compress: bool = False) -> None:
         from gamma_tpu.storage.native_backend import ColumnStore
-        self.native_store = ColumnStore(directory, list(self.fields.values()))
+        self.native_store = ColumnStore(directory,
+                                        list(self.fields.values()),
+                                        compress=compress)
 
     def flush_storage(self, dirty: Optional[List[int]] = None) -> int:
         if self.native_store is None:

@@ -109,7 +109,8 @@ class RawVectorStore:
                  host_dtype=np.float32,
                  init_cap: int = 8192,
                  multi_vids: bool = False,
-                 compress_dumps: bool = False):
+                 compress_dumps: bool = False,
+                 compress_blocks: bool = False):
         self.name = name
         self.d = dimension
         if store_type == "RocksDB":     # reference cold tier → disk tier
@@ -126,6 +127,10 @@ class RawVectorStore:
         # zlib-compressed checkpoints (the reference's optional zstd/zfp
         # block compression, storage/compress/)
         self.compress_dumps = compress_dumps
+        # zstd block compression of the native vector segments
+        # (store_param {"compress": "zstd"} — the reference's
+        # compressor_zfp.h vector-block role)
+        self.compress_blocks = compress_blocks
         self.n = 0                       # number of vectors (vids) stored
         self._flushed = 0                # rows mirrored to device
         self._lock = threading.Lock()
@@ -157,7 +162,8 @@ class RawVectorStore:
     def attach_persist(self, directory: str) -> None:
         from gamma_tpu.storage.native_backend import VectorPersist
         self._persist = VectorPersist(directory, self.name, self.d,
-                                      dtype=self.host_dtype)
+                                      dtype=self.host_dtype,
+                                      compress=self.compress_blocks)
 
     def flush_storage(self) -> int:
         """Append host rows not yet in the native segments (called at

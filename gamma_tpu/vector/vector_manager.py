@@ -56,6 +56,11 @@ class VectorManager:
             # upcast to f32 for the exact rerank
             hd = str(vi.store_param.get("host_dtype", "float32"))
             import numpy as _np
+            # compress: "zstd" → native zstd block compression of the
+            # persisted vector segments (reference compressor_zfp.h
+            # role); any other truthy value keeps the legacy
+            # zlib-compressed whole-corpus checkpoints
+            comp = vi.store_param.get("compress", False)
             store = RawVectorStore(
                 vi.name, vi.dimension,
                 store_type=vi.store_type,
@@ -63,7 +68,8 @@ class VectorManager:
                 host_dtype=(_np.float16 if hd in ("float16", "f16")
                             else _np.float32),
                 root_path=os.path.join(self.root_path, "vectors"),
-                compress_dumps=bool(vi.store_param.get("compress", False)),
+                compress_dumps=bool(comp) and comp != "zstd",
+                compress_blocks=comp == "zstd",
             )
             if persist_dir is not None:
                 store.attach_persist(persist_dir)

@@ -33,6 +33,11 @@
 #include <sys/stat.h>
 #include <unistd.h>
 
+#include <zstd.h>
+
+#include <list>
+#include <utility>
+
 #define API extern "C" __attribute__((visibility("default")))
 
 namespace {
@@ -185,6 +190,142 @@ struct Bitmap {
     if (p == MAP_FAILED) return false;
     words = (std::atomic<uint64_t>*)p;
     return true;
+  }
+};
+
+// ---------------------------------------------------------------------
+// ZStore: zstd block-compressed row store
+//
+// The compressed-block role of the reference's storage compressors
+// (storage/compress/compressor_zstd.h for table blocks,
+//  compressor_zfp.h for vector blocks) married to its Block + LRUCache
+// read path (storage/block.h:36, storage/lru_cache.h:332): rows append
+// into a raw tail; each full block of `rows_per_block` rows is sealed as
+// one zstd frame appended to the data file (and never touched again);
+// reads decompress whole blocks into a small LRU.  Point updates of
+// sealed rows go to an overlay map (applied on read, persisted at sync)
+// so no frame is ever rewritten.
+//
+// Durability: sealed frames are written immediately (write-behind by the
+// OS); `gzb_sync` rewrites the tail + overlay sidecars and fsyncs — the
+// barrier the engine takes before its commit marker.  Reopen replays
+// frames until the first short/corrupt one (a torn final frame from a
+// crash is discarded), then the synced tail/overlay.
+// ---------------------------------------------------------------------
+
+struct ZFrameHdr {
+  uint32_t magic;
+  uint32_t comp_len;
+  uint64_t block_idx;
+};
+constexpr uint32_t kZMagic = 0x5A424C4BU;  // 'ZBLK'
+
+struct ZStore {
+  std::string dir, name;
+  uint64_t row_bytes = 0, rows_per_block = 0;
+  int fd = -1;                       // sealed-frame data file
+  uint64_t data_len = 0;             // bytes of valid frames
+  struct Blk { uint64_t comp_off, comp_len; };
+  std::vector<Blk> blocks;           // sealed, each rows_per_block rows
+  std::vector<uint8_t> tail;         // raw rows, < rows_per_block
+  std::unordered_map<uint64_t, std::vector<uint8_t>> overlay;  // row → raw
+  // decompressed-block LRU (reference: per-block LRUCache)
+  size_t cache_cap = 32;
+  std::list<uint64_t> lru;           // front = most recent
+  std::unordered_map<uint64_t,
+      std::pair<std::list<uint64_t>::iterator,
+                std::vector<uint8_t>>> cache;
+  uint64_t hits = 0, misses = 0;
+  std::mutex mu;
+
+  uint64_t block_bytes() const { return row_bytes * rows_per_block; }
+  std::string data_path() const { return dir + "/" + name + ".zblk"; }
+  std::string tail_path() const { return dir + "/" + name + ".ztail"; }
+  std::string ovl_path() const { return dir + "/" + name + ".zovl"; }
+
+  bool open_() {
+    fd = ::open(data_path().c_str(), O_RDWR | O_CREAT, 0644);
+    if (fd < 0) return false;
+    // replay frames; stop at the first torn one
+    uint64_t off = 0;
+    for (;;) {
+      ZFrameHdr h;
+      if (::pread(fd, &h, sizeof h, (off_t)off) != (ssize_t)sizeof h) break;
+      if (h.magic != kZMagic || h.block_idx != blocks.size()) break;
+      struct stat st;
+      ::fstat(fd, &st);
+      if (off + sizeof h + h.comp_len > (uint64_t)st.st_size) break;
+      blocks.push_back({off + sizeof h, h.comp_len});
+      off += sizeof h + h.comp_len;
+    }
+    data_len = off;
+    ::ftruncate(fd, (off_t)data_len);  // drop torn frame bytes
+    // synced tail
+    FILE* tf = ::fopen(tail_path().c_str(), "rb");
+    if (tf) {
+      uint64_t nrows = 0;
+      if (::fread(&nrows, 8, 1, tf) == 1 && nrows < rows_per_block) {
+        tail.resize(nrows * row_bytes);
+        if (::fread(tail.data(), 1, tail.size(), tf) != tail.size())
+          tail.clear();
+      }
+      ::fclose(tf);
+    }
+    // synced overlay
+    FILE* of = ::fopen(ovl_path().c_str(), "rb");
+    if (of) {
+      uint64_t cnt = 0;
+      if (::fread(&cnt, 8, 1, of) == 1) {
+        std::vector<uint8_t> buf(row_bytes);
+        for (uint64_t i = 0; i < cnt; i++) {
+          uint64_t row;
+          if (::fread(&row, 8, 1, of) != 1) break;
+          if (::fread(buf.data(), 1, row_bytes, of) != row_bytes) break;
+          overlay[row] = buf;
+        }
+      }
+      ::fclose(of);
+    }
+    return true;
+  }
+
+  uint64_t rows() const {
+    return blocks.size() * rows_per_block + tail.size() / row_bytes;
+  }
+
+  void seal_tail() {  // caller holds mu; tail is exactly one block
+    uint64_t bb = block_bytes();
+    std::vector<uint8_t> comp(ZSTD_compressBound(bb));
+    size_t cl = ZSTD_compress(comp.data(), comp.size(), tail.data(), bb, 1);
+    ZFrameHdr h{kZMagic, (uint32_t)cl, blocks.size()};
+    ::pwrite(fd, &h, sizeof h, (off_t)data_len);
+    ::pwrite(fd, comp.data(), cl, (off_t)(data_len + sizeof h));
+    blocks.push_back({data_len + sizeof h, (uint64_t)cl});
+    data_len += sizeof h + cl;
+    tail.clear();
+  }
+
+  // decompressed block bytes (cache fill); caller holds mu
+  const std::vector<uint8_t>& get_block(uint64_t bi) {
+    auto it = cache.find(bi);
+    if (it != cache.end()) {
+      hits++;
+      lru.splice(lru.begin(), lru, it->second.first);
+      return it->second.second;
+    }
+    misses++;
+    std::vector<uint8_t> comp(blocks[bi].comp_len);
+    ::pread(fd, comp.data(), comp.size(), (off_t)blocks[bi].comp_off);
+    std::vector<uint8_t> raw(block_bytes());
+    ZSTD_decompress(raw.data(), raw.size(), comp.data(), comp.size());
+    while (cache.size() >= cache_cap && !lru.empty()) {
+      cache.erase(lru.back());
+      lru.pop_back();
+    }
+    lru.push_front(bi);
+    auto res = cache.emplace(bi,
+        std::make_pair(lru.begin(), std::move(raw)));
+    return res.first->second.second;
   }
 };
 
@@ -383,6 +524,194 @@ API void gsm_close(void* h) {
   if (s->syncer.joinable()) s->syncer.join();
   for (auto* seg : s->segs) { seg->close_(); delete seg; }
   delete s;
+}
+
+// ===================== zstd block store ==============================
+
+API void* gzb_open(const char* dir, const char* name, int64_t row_bytes,
+                   int64_t rows_per_block, int64_t cache_blocks) {
+  auto* z = new ZStore();
+  z->dir = dir;
+  z->name = name;
+  z->row_bytes = (uint64_t)row_bytes;
+  z->rows_per_block = (uint64_t)rows_per_block;
+  if (cache_blocks > 0) z->cache_cap = (size_t)cache_blocks;
+  ::mkdir(dir, 0755);
+  if (!z->open_()) { delete z; return nullptr; }
+  return z;
+}
+
+API int64_t gzb_rows(void* h) {
+  auto* z = (ZStore*)h;
+  std::lock_guard<std::mutex> g(z->mu);
+  return (int64_t)z->rows();
+}
+
+API int gzb_add(void* h, const void* data, int64_t n_rows) {
+  auto* z = (ZStore*)h;
+  std::lock_guard<std::mutex> g(z->mu);
+  const uint8_t* src = (const uint8_t*)data;
+  uint64_t left = (uint64_t)n_rows;
+  while (left) {
+    uint64_t tail_rows = z->tail.size() / z->row_bytes;
+    uint64_t take = std::min(left, z->rows_per_block - tail_rows);
+    size_t old = z->tail.size();
+    z->tail.resize(old + take * z->row_bytes);
+    std::memcpy(z->tail.data() + old, src, take * z->row_bytes);
+    src += take * z->row_bytes;
+    left -= take;
+    if (z->tail.size() == z->block_bytes()) z->seal_tail();
+  }
+  return 0;
+}
+
+API int gzb_get(void* h, int64_t start, int64_t count, void* out) {
+  auto* z = (ZStore*)h;
+  std::lock_guard<std::mutex> g(z->mu);
+  if (start < 0 || (uint64_t)(start + count) > z->rows()) return -1;
+  uint8_t* dst = (uint8_t*)out;
+  uint64_t rb = z->row_bytes, rpb = z->rows_per_block;
+  uint64_t row = (uint64_t)start, left = (uint64_t)count;
+  while (left) {
+    uint64_t bi = row / rpb, in = row % rpb;
+    uint64_t take = std::min(left, rpb - in);
+    if (bi < z->blocks.size()) {
+      const auto& raw = z->get_block(bi);
+      std::memcpy(dst, raw.data() + in * rb, take * rb);
+    } else {
+      std::memcpy(dst, z->tail.data() + in * rb, take * rb);
+    }
+    dst += take * rb;
+    row += take;
+    left -= take;
+  }
+  // overlay patch: one pass over the (small) overlay map
+  if (!z->overlay.empty()) {
+    uint64_t s = (uint64_t)start, e = (uint64_t)(start + count);
+    for (const auto& kv : z->overlay) {
+      if (kv.first >= s && kv.first < e)
+        std::memcpy((uint8_t*)out + (kv.first - s) * rb,
+                    kv.second.data(), rb);
+    }
+  }
+  return 0;
+}
+
+API int gzb_update(void* h, int64_t row, const void* data) {
+  auto* z = (ZStore*)h;
+  std::lock_guard<std::mutex> g(z->mu);
+  if (row < 0 || (uint64_t)row >= z->rows()) return -1;
+  uint64_t sealed = z->blocks.size() * z->rows_per_block;
+  if ((uint64_t)row >= sealed) {   // tail row: write in place
+    std::memcpy(z->tail.data() + ((uint64_t)row - sealed) * z->row_bytes,
+                data, z->row_bytes);
+  } else {                          // sealed: overlay, applied on read
+    auto& slot = z->overlay[(uint64_t)row];
+    slot.assign((const uint8_t*)data, (const uint8_t*)data + z->row_bytes);
+  }
+  return 0;
+}
+
+API int gzb_truncate(void* h, int64_t n_rows) {
+  auto* z = (ZStore*)h;
+  std::lock_guard<std::mutex> g(z->mu);
+  if ((uint64_t)n_rows >= z->rows()) return 0;
+  uint64_t rpb = z->rows_per_block, rb = z->row_bytes;
+  uint64_t kb = (uint64_t)n_rows / rpb, rem = (uint64_t)n_rows % rpb;
+  for (auto it = z->overlay.begin(); it != z->overlay.end();) {
+    if (it->first >= (uint64_t)n_rows) it = z->overlay.erase(it);
+    else ++it;
+  }
+  if (kb < z->blocks.size()) {
+    // the partial block's kept rows become the new tail
+    std::vector<uint8_t> kept;
+    if (rem) {
+      const auto& raw = z->get_block(kb);
+      kept.assign(raw.begin(), raw.begin() + rem * rb);
+      // sealed rows melted back into the tail: fold their overlay in
+      for (const auto& kv : z->overlay) {
+        if (kv.first >= kb * rpb && kv.first < kb * rpb + rem)
+          std::memcpy(kept.data() + (kv.first - kb * rpb) * rb,
+                      kv.second.data(), rb);
+      }
+      for (auto it = z->overlay.begin(); it != z->overlay.end();) {
+        if (it->first >= kb * rpb) it = z->overlay.erase(it);
+        else ++it;
+      }
+    }
+    uint64_t cut = z->blocks[kb].comp_off - sizeof(ZFrameHdr);
+    z->blocks.resize(kb);
+    z->data_len = cut;
+    ::ftruncate(z->fd, (off_t)cut);
+    z->cache.clear();
+    z->lru.clear();
+    z->tail = std::move(kept);
+  } else {
+    z->tail.resize(rem * rb);
+  }
+  return 0;
+}
+
+API int gzb_sync(void* h) {
+  auto* z = (ZStore*)h;
+  std::lock_guard<std::mutex> g(z->mu);
+  // tail + overlay sidecars: write tmp, rename (atomic vs crash)
+  std::string tp = z->tail_path() + ".tmp";
+  FILE* tf = ::fopen(tp.c_str(), "wb");
+  if (!tf) return -1;
+  uint64_t nrows = z->tail.size() / z->row_bytes;
+  ::fwrite(&nrows, 8, 1, tf);
+  ::fwrite(z->tail.data(), 1, z->tail.size(), tf);
+  ::fflush(tf);
+  ::fsync(::fileno(tf));
+  ::fclose(tf);
+  ::rename(tp.c_str(), z->tail_path().c_str());
+  std::string op = z->ovl_path() + ".tmp";
+  FILE* of = ::fopen(op.c_str(), "wb");
+  if (!of) return -1;
+  uint64_t cnt = z->overlay.size();
+  ::fwrite(&cnt, 8, 1, of);
+  for (const auto& kv : z->overlay) {
+    ::fwrite(&kv.first, 8, 1, of);
+    ::fwrite(kv.second.data(), 1, z->row_bytes, of);
+  }
+  ::fflush(of);
+  ::fsync(::fileno(of));
+  ::fclose(of);
+  ::rename(op.c_str(), z->ovl_path().c_str());
+  return ::fsync(z->fd);
+}
+
+API int64_t gzb_comp_bytes(void* h) {
+  auto* z = (ZStore*)h;
+  std::lock_guard<std::mutex> g(z->mu);
+  return (int64_t)(z->data_len + z->tail.size()
+                   + z->overlay.size() * (8 + z->row_bytes));
+}
+
+API int gzb_set_cache_blocks(void* h, int64_t n) {
+  auto* z = (ZStore*)h;
+  std::lock_guard<std::mutex> g(z->mu);
+  z->cache_cap = (size_t)std::max<int64_t>(1, n);
+  while (z->cache.size() > z->cache_cap && !z->lru.empty()) {
+    z->cache.erase(z->lru.back());
+    z->lru.pop_back();
+  }
+  return 0;
+}
+
+API int64_t gzb_cache_stats(void* h, int64_t* misses_out) {
+  auto* z = (ZStore*)h;
+  std::lock_guard<std::mutex> g(z->mu);
+  if (misses_out) *misses_out = (int64_t)z->misses;
+  return (int64_t)z->hits;
+}
+
+API void gzb_close(void* h) {
+  auto* z = (ZStore*)h;
+  gzb_sync(h);
+  if (z->fd >= 0) ::close(z->fd);
+  delete z;
 }
 
 // ============================ bitmap =================================
