@@ -306,6 +306,32 @@ def main():
             f"grouped ADC mismatch: {pallas_rel_err}"  # bf16 lut/onehot
         log(f"grouped-MXU vs XLA ADC max rel err: {pallas_rel_err:.2e}")
 
+    # on-chip agreement check of the COMPILED residual-SQ8 kernel
+    # (ops/pallas_gsq.py — the no-rerank capacity hot path) against its
+    # XLA twin, over in-length slots
+    sq_rel_err = None
+    if (gather_sections and jax.default_backend() == "tpu"
+            and idx.sq_active):
+        from gamma_tpu.ops.pallas_gsq import grouped_sq_scan
+        qs = idx._rotate(qd[:8])
+        _, lids = iv.coarse_assign(qs, idx.centroids, idx.cent_norms,
+                                   8, "l2")
+        sq_p = np.asarray(grouped_sq_scan(
+            idx.sq_codes, idx.sq_norms, idx.state.lens, lids, qs,
+            idx.sq_scale, idx.sq_off, centroids=idx.centroids,
+            metric="l2"))
+        sq_x = np.asarray(iv.sq_raw_dist_xla(
+            idx.sq_codes, idx.sq_norms, idx.sq_scale, idx.sq_off,
+            idx.centroids, lids, qs, metric="l2"))
+        lens_g = np.asarray(jnp.take(idx.state.lens, lids, axis=0))
+        in_len = (np.arange(sq_x.shape[-1])[None, None, :]
+                  < lens_g[..., None])
+        scale = max(float(np.abs(sq_x[in_len]).max()), 1e-9)
+        sq_rel_err = float(
+            np.abs(sq_p[in_len] - sq_x[in_len]).max()) / scale
+        assert sq_rel_err < 2e-2, f"SQ8 kernel mismatch: {sq_rel_err}"
+        log(f"grouped-SQ8 vs XLA max rel err: {sq_rel_err:.2e}")
+
     gather_qps = recall10_g = None
     if gather_sections:
         found_g = []
@@ -351,9 +377,32 @@ def main():
             f"{sharded_pallas_qps:,.0f} QPS")
         del sh1, s_fn, pen_sh
 
+    # ---- sharded SQ8 shard-body on ONE real chip (capacity tier's fast
+    # path through shard_map: exact scan, single ICI merge, no rerank) ----
+    sharded_sq_qps = None
+    if (gather_sections and jax.default_backend() == "tpu"
+            and idx.sq_active):
+        from gamma_tpu.parallel import (build_mesh, shard_ivfsq,
+                                        sharded_ivfsq_search_fn)
+        mesh1 = build_mesh(1, 1)
+        shq = shard_ivfsq(mesh1, idx.state, np.asarray(idx.centroids),
+                          np.asarray(idx.cent_norms), idx.sq_codes,
+                          idx.sq_norms, idx.sq_scale, idx.sq_off,
+                          cap_eff=idx._cap_eff())
+        q_fn = sharded_ivfsq_search_fn(mesh1, nprobe=nprobe, k=k,
+                                       metric="l2", scan_impl="pallas")
+        pen_sh = jnp.zeros(n, jnp.float32)
+        qs1k = qd[np.arange(1024) % nq]
+        jax.block_until_ready(q_fn(shq, qs1k, pen_sh))
+        sharded_sq_qps = measure_qps(
+            lambda: q_fn(shq, qs1k, pen_sh), iters=5, reps=2, rows=1024)
+        log(f"sharded SQ8 shard-body (1x1 mesh): "
+            f"{sharded_sq_qps:,.0f} QPS")
+        del shq, q_fn, pen_sh
+
     # ---- IVFPQ_FASTSCAN (4-bit packed, ksub=16 kernel) at the same
     # config: the fast capacity-mode operating point ----
-    fs_qps = fs_recall = None
+    fs_qps = fs_recall = fs_rel_err = None
     if (gather_sections
             and os.environ.get("GAMMA_BENCH_FASTSCAN", "1") == "1"):
         from gamma_tpu.index.ivfpq_fastscan import IVFPQFastScanIndex
@@ -369,6 +418,37 @@ def main():
             fs.add(store.device_rows(s, e), ids[s:e], ids[s:e])
         jax.block_until_ready(fs.state.lens)
         log(f"fastscan add: {time.time()-t0:.1f}s")
+        # on-chip agreement check of the COMPILED packed-4-bit grouped
+        # kernel (in-kernel residual LUTs) against the XLA unpack+LUT
+        # formulation, over in-length slots
+        if jax.default_backend() == "tpu":
+            from gamma_tpu.ops.pallas_adc import unpack_nibbles
+            from gamma_tpu.ops.pallas_gadc import grouped_adc
+            qs = fs._rotate(qd[:8])
+            cd_fs, lids_fs = iv.coarse_assign(
+                qs, fs.centroids, fs.cent_norms, 8, "l2")
+            fs_p = np.asarray(
+                grouped_adc(fs.state.codes, fs.state.lens, lids_fs, qs,
+                            fs.centroids, fs.pq, metric="l2",
+                            packed=True, residual=True)
+                + cd_fs[..., None])
+            # the residual L2 LUT already carries the FULL distance
+            # (||q-c-dq||² = ||r-dq||²) — no coarse term is added on the
+            # xla side, mirroring ivf_scan.ivfpqfs_search's xla branch
+            res_fs = (qs.astype(jnp.float32)[:, None, :]
+                      - jnp.take(fs.centroids, lids_fs, axis=0))
+            lut_fs = pq_ops.l2_lut(fs.pq, res_fs)
+            fs_x = np.asarray(pq_ops.adc_scan(
+                lut_fs, unpack_nibbles(
+                    jnp.take(fs.state.codes, lids_fs, axis=0))))
+            lens_fs = np.asarray(jnp.take(fs.state.lens, lids_fs, axis=0))
+            in_len = (np.arange(fs_x.shape[-1])[None, None, :]
+                      < lens_fs[..., None])
+            scale = max(float(np.abs(fs_x[in_len]).max()), 1e-9)
+            fs_rel_err = float(
+                np.abs(fs_p[in_len] - fs_x[in_len]).max()) / scale
+            assert fs_rel_err < 2e-2, f"FS kernel mismatch: {fs_rel_err}"
+            log(f"grouped-FS vs XLA max rel err: {fs_rel_err:.2e}")
         sp_fs = SearchParams.from_dict({
             "scan_mode": "gather", "recall_num": recall_num,
             "has_rank": True, "nprobe": nprobe})
@@ -561,8 +641,12 @@ def main():
         "fastscan_recall_at_10": (None if fs_recall is None
                                   else round(fs_recall, 4)),
         "pallas_max_rel_err": pallas_rel_err,
+        "sq8_pallas_max_rel_err": sq_rel_err,
+        "fs_pallas_max_rel_err": fs_rel_err,
         "sharded_pallas_qps": (None if sharded_pallas_qps is None
                                else round(sharded_pallas_qps, 1)),
+        "sharded_sq8_qps": (None if sharded_sq_qps is None
+                            else round(sharded_sq_qps, 1)),
         "filtered_qps": filtered_qps,
         "concurrent_search_qps": round(qps_during, 1),
         "concurrent_inserts_per_s": round(ingest_done["rate"], 0),

@@ -817,6 +817,32 @@ class GammaEngine:
             pen = self._pad_pen(pen_doc, sh["dense"].recon.shape[0])
             d, vid = fn(sh["dense"], qrot, pen, qd)
             dists, docids = np.asarray(d), np.asarray(vid)
+        elif getattr(model, "sq_active", False):
+            # capacity tier with the residual-SQ8 sidecar: exact scan,
+            # ONE ICI merge, no psum rerank (parallel/sharded.py)
+            from gamma_tpu.parallel import (shard_ivfsq,
+                                            sharded_ivfsq_search_fn)
+            if sh.get("sq") is None:
+                with model.mutate_lock:
+                    sh["snap_n"]["sq"] = model.indexed_count
+                    sh["sq"] = shard_ivfsq(
+                        sh["mesh"], model.state,
+                        np.asarray(model.centroids),
+                        np.asarray(model.cent_norms), model.sq_codes,
+                        model.sq_norms, model.sq_scale, model.sq_off,
+                        cap_eff=model._cap_eff())
+            snap_n = sh["snap_n"]["sq"]
+            nprobe = min(sp.nprobe or model.p.nprobe, model.p.ncentroids)
+            key = ("sq", nprobe, k, self._result_metric(sp), b_pad)
+            fn = sh["fns"].get(key)
+            if fn is None:
+                fn = sharded_ivfsq_search_fn(
+                    sh["mesh"], nprobe=nprobe, k=k,
+                    metric=self._result_metric(sp))
+                sh["fns"][key] = fn
+            pen = self._pad_pen(pen_doc, max(self.max_docid, 1))
+            d, doc, vid = fn(sh["sq"], qrot, pen)
+            dists, docids = np.asarray(d), np.asarray(doc)
         else:
             if sh["index"] is None:
                 with model.mutate_lock:

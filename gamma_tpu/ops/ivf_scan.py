@@ -80,13 +80,14 @@ def _candidate_mask_validity(docids_g, lens_g, cap, live_n):
     return jnp.where(ok, 0.0, BIG)
 
 
-def _select_candidates(dist, docids_g, vids_g, recall_num):
+def _select_candidates(dist, docids_g, vids_g, recall_num,
+                       exact: bool = False):
     b = dist.shape[0]
     width = math.prod(dist.shape[1:])
     flat = dist.reshape(b, -1)
     doc_f = docids_g.reshape(b, -1)
     vid_f = vids_g.reshape(b, -1)
-    if width > 16384:
+    if width > 16384 and not exact:
         # ApproxTopK custom call: the exact lax.top_k sort over the
         # [B, P*cap] candidate axis costs ~30x the ADC kernel at the
         # SIFT1M gather geometry.  Keep the PROBE-MAJOR flatten: within
@@ -306,12 +307,41 @@ def ivfpqfs_search(state: IVFState,           # codes packed [nlist,cap,M/2]
                          | (raw_dist > dist_range[1]), BIG, dist)
     dist = jnp.minimum(dist, BIG)
 
-    rd, rdoc, rvid = _select_candidates(dist, docids_g, vids_g, recall_num)
+    # exact candidate select: the 4-bit codes already cost ~1pt of
+    # recall; stacking ApproxTopK's bin-collision loss on top (and
+    # its non-nested candidate sets across recall_num) held
+    # recall@10 under the 0.99 reference bar.  The grouped kernel
+    # dominates FS step time, so the full sort is a small fraction
+    # here — unlike the 8-bit ADC gather path, which keeps the
+    # approx select (its width is the same but its recall was
+    # already clear of the bar before rerank).
+    rd, rdoc, rvid = _select_candidates(dist, docids_g, vids_g,
+                                        recall_num, exact=True)
     if not rerank:
         return topk_like(rd, rdoc, rvid, k)
     qr = queries if queries_raw is None else queries_raw
     return _rerank(qr, rd, rdoc, rvid, raw_vectors, penalty, k, metric,
                    dist_range)
+
+
+def sq_raw_dist_xla(sq_codes, sq_norms, sq_scale, sq_off, centroids,
+                    list_ids, queries, *, metric: str = "l2"):
+    """Portable XLA twin of ops/pallas_gsq.grouped_sq_scan (CPU tests /
+    small shapes / on-TPU agreement checks): gather + dequantize +
+    einsum — materializes [B, P, cap, d], fine off-TPU."""
+    qf = queries.astype(jnp.float32)
+    cg = jnp.take(sq_codes, list_ids, axis=0).astype(jnp.float32)
+    d = qf.shape[1]
+    deq = (sq_off[None, None, None, :]
+           + sq_scale[None, None, None, :] * cg[..., :d])
+    x = deq + jnp.take(centroids, list_ids, axis=0)[:, :, None, :]
+    qx = jnp.einsum("bd,bpcd->bpc", qf, x,
+                    precision=jax.lax.Precision.HIGHEST)
+    if metric == "ip":
+        return -qx
+    nrm_g = jnp.take(sq_norms, list_ids, axis=0)
+    qn = jnp.sum(qf * qf, axis=-1)
+    return qn[:, None, None] - 2.0 * qx + nrm_g
 
 
 @functools.partial(
@@ -359,22 +389,9 @@ def ivfsq_search(state: IVFState,             # posting ids/lens (codes unused)
                                    list_ids, queries, sq_scale, sq_off,
                                    centroids=centroids, metric=metric)
     else:
-        # portable XLA formulation (CPU tests / small shapes): gather +
-        # dequantize + einsum — materializes [B, P, cap, d], fine off-TPU
-        qf = queries.astype(jnp.float32)
-        cg = jnp.take(sq_codes, list_ids, axis=0).astype(jnp.float32)
-        d = qf.shape[1]
-        deq = (sq_off[None, None, None, :]
-               + sq_scale[None, None, None, :] * cg[..., :d])
-        x = deq + jnp.take(centroids, list_ids, axis=0)[:, :, None, :]
-        qx = jnp.einsum("bd,bpcd->bpc", qf, x,
-                        precision=jax.lax.Precision.HIGHEST)
-        nrm_g = jnp.take(sq_norms, list_ids, axis=0)
-        if metric == "ip":
-            raw_dist = -qx
-        else:
-            qn = jnp.sum(qf * qf, axis=-1)
-            raw_dist = qn[:, None, None] - 2.0 * qx + nrm_g
+        raw_dist = sq_raw_dist_xla(sq_codes, sq_norms, sq_scale, sq_off,
+                                   centroids, list_ids, queries,
+                                   metric=metric)
     mask = (_candidate_mask_validity(docids_g, lens_g, cap, live_n)
             if live_n is not None else
             _candidate_mask_penalty(docids_g, lens_g, cap, penalty))

@@ -300,6 +300,180 @@ def sharded_ivfpq_search_fn(mesh: Mesh, *, nprobe: int, recall_num: int,
 
 
 # ----------------------------------------------------------------------
+# sharded residual-SQ8 capacity scan (no rerank: exact distances to the
+# dequantized points come straight out of the list scan, so the ICI
+# merge is the LAST step — no psum reassembly of raw candidate rows)
+# ----------------------------------------------------------------------
+
+class ShardedIVFSQ(NamedTuple):
+    """Capacity-tier serving snapshot: posting ids + SQ8 sidecar sharded
+    over LIST_AXIS; the dequant affine (scale/off) is replicated."""
+
+    vids: jnp.ndarray          # [nlist_pad, cap] i32, sharded axis 0
+    docids: jnp.ndarray        # [nlist_pad, cap] i32, sharded axis 0
+    lens: jnp.ndarray          # [nlist_pad] i32
+    sq_codes: jnp.ndarray      # [nlist_pad, cap, d_pad] u8
+    sq_norms: jnp.ndarray      # [nlist_pad, cap] f32
+    sq_scale: jnp.ndarray      # [d] f32, replicated
+    sq_off: jnp.ndarray        # [d] f32, replicated
+    centroids: jnp.ndarray     # [nlist_pad, d] f32, sharded axis 0
+    cent_norms: jnp.ndarray    # [nlist_pad] f32
+
+
+def shard_ivfsq(mesh: Mesh, state: IVFState, centroids, cent_norms,
+                sq_codes, sq_norms, sq_scale, sq_off,
+                cap_eff: int = 0) -> ShardedIVFSQ:
+    """Distribute the SQ8 capacity tier over the mesh (same contiguous
+    list split as shard_ivfpq; docids/vids stay global)."""
+    s = mesh.shape[LIST_AXIS]
+    nlist = int(state.nlist)
+    l_pad = -(-nlist // s) * s
+
+    vids = np.asarray(state.vids)
+    docids = np.asarray(state.docids)
+    codes = np.asarray(sq_codes)
+    norms = np.asarray(sq_norms)
+    if cap_eff and cap_eff < vids.shape[1]:
+        vids = vids[:, :cap_eff]
+        docids = docids[:, :cap_eff]
+        codes = codes[:, :cap_eff]
+        norms = norms[:, :cap_eff]
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    cents = _pad_axis0(np.asarray(centroids, np.float32), l_pad)
+    if l_pad > nlist:
+        cents[nlist:] = 1e18          # padded lists never win coarse
+    cnorms = np.sum(cents.astype(np.float64) ** 2, axis=-1
+                    ).astype(np.float32)
+    return ShardedIVFSQ(
+        vids=put(_pad_axis0(vids, l_pad, -1), P(LIST_AXIS, None)),
+        docids=put(_pad_axis0(docids, l_pad, -1), P(LIST_AXIS, None)),
+        lens=put(_pad_axis0(np.asarray(state.lens), l_pad),
+                 P(LIST_AXIS)),
+        sq_codes=put(_pad_axis0(codes, l_pad), P(LIST_AXIS, None, None)),
+        sq_norms=put(_pad_axis0(norms, l_pad), P(LIST_AXIS, None)),
+        sq_scale=put(np.asarray(sq_scale, np.float32), P()),
+        sq_off=put(np.asarray(sq_off, np.float32), P()),
+        centroids=put(cents, P(LIST_AXIS, None)),
+        cent_norms=put(cnorms, P(LIST_AXIS)),
+    )
+
+
+def _local_ivfsq_search(vids, docids, lens, sq_codes, sq_norms,
+                        sq_scale, sq_off, cents_l, cnorms_l,
+                        queries, penalty,
+                        *, nprobe, local_probe, k, metric,
+                        scan_impl="xla"):
+    l_loc = cents_l.shape[0]
+    cap = vids.shape[1]
+    m = min(nprobe, l_loc)
+    p_loc = min(local_probe, m)
+
+    # 1-2. local coarse + global probe threshold (as _local_ivfpq_search)
+    if metric == "ip":
+        dloc = -pairwise_ip(queries, cents_l)
+    else:
+        dloc = pairwise_l2(queries, cents_l, cnorms_l)
+    local_ids = jnp.broadcast_to(
+        jnp.arange(l_loc, dtype=jnp.int32)[None, :], dloc.shape)
+    ld, lids = topk_min(dloc, local_ids, m)
+    all_d = jax.lax.all_gather(ld, LIST_AXIS, axis=1, tiled=True)
+    n_glob = min(nprobe, all_d.shape[1])
+    gd, _ = topk_min(all_d, jnp.zeros_like(all_d, jnp.int32), n_glob)
+    thr = gd[:, n_glob - 1]
+    sel_d = ld[:, :p_loc]
+    sel_ids = lids[:, :p_loc]
+    sel_ok = sel_d <= thr[:, None]
+
+    # 3. exact SQ8 scan of the selected local lists (full distance —
+    # the centroid term is folded in by the kernel/twin)
+    vids_g = jnp.take(vids, sel_ids, axis=0)
+    docids_g = jnp.take(docids, sel_ids, axis=0)
+    lens_g = jnp.take(lens, sel_ids, axis=0)
+    if scan_impl == "pallas":
+        from gamma_tpu.ops.pallas_gsq import grouped_sq_scan
+        raw_dist = grouped_sq_scan(sq_codes, sq_norms, lens, sel_ids,
+                                   queries, sq_scale, sq_off,
+                                   centroids=cents_l, metric=metric)
+    else:
+        from gamma_tpu.ops.ivf_scan import sq_raw_dist_xla
+        raw_dist = sq_raw_dist_xla(sq_codes, sq_norms, sq_scale, sq_off,
+                                   cents_l, sel_ids, queries,
+                                   metric=metric)
+    dist = raw_dist + _candidate_mask_penalty(docids_g, lens_g, cap,
+                                              penalty)
+    dist = dist + jnp.where(sel_ok, 0.0, BIG)[..., None]
+    dist = jnp.minimum(dist, BIG)
+
+    # 4. local top-k, then ONE ICI merge — distances are already exact,
+    # so k (not recall_num) rides the interconnect and nothing is
+    # re-read afterwards
+    b = dist.shape[0]
+    flat = dist.reshape(b, -1)
+    ids = jnp.broadcast_to(
+        jnp.arange(flat.shape[1], dtype=jnp.int32)[None, :], flat.shape)
+    rd, ridx = topk_min(flat, ids, k)
+    rdoc = jnp.take_along_axis(docids_g.reshape(b, -1), ridx, axis=1)
+    rvid = jnp.take_along_axis(vids_g.reshape(b, -1), ridx, axis=1)
+    rd_g = jax.lax.all_gather(rd, LIST_AXIS, axis=1, tiled=True)
+    rdoc_g = jax.lax.all_gather(rdoc, LIST_AXIS, axis=1, tiled=True)
+    rvid_g = jax.lax.all_gather(rvid, LIST_AXIS, axis=1, tiled=True)
+    md, sel = topk_min(rd_g, jnp.broadcast_to(
+        jnp.arange(rd_g.shape[1], dtype=jnp.int32)[None, :], rd_g.shape),
+        k)
+    mdoc = jnp.take_along_axis(rdoc_g, sel, axis=1)
+    mvid = jnp.take_along_axis(rvid_g, sel, axis=1)
+    dead = md >= BIG
+    return md, jnp.where(dead, -1, mdoc), jnp.where(dead, -1, mvid)
+
+
+def sharded_ivfsq_search_fn(mesh: Mesh, *, nprobe: int, k: int,
+                            metric: str = "l2",
+                            local_probe: Optional[int] = None,
+                            scan_impl: Optional[str] = None):
+    """Jitted sharded SQ8 capacity search for a fixed geometry.
+
+    Returned fn: (sharded: ShardedIVFSQ, queries [B, d], penalty [N_cap])
+    → (dists [B, k], docids [B, k], vids [B, k]).  Queries sharded over
+    "q"; penalty doc-aligned and replicated."""
+    s = mesh.shape[LIST_AXIS]
+    if local_probe is None:
+        local_probe = min(nprobe, 2 * (-(-nprobe // s)) + 2)
+    if scan_impl is None:
+        scan_impl = ("pallas" if mesh.devices.flat[0].platform == "tpu"
+                     else "xla")
+
+    body = functools.partial(
+        _local_ivfsq_search, nprobe=nprobe, local_probe=local_probe,
+        k=k, metric=metric, scan_impl=scan_impl)
+
+    lists3 = P(LIST_AXIS, None, None)
+    lists2 = P(LIST_AXIS, None)
+    lists1 = P(LIST_AXIS)
+    rep = P()
+    qrow = P(QUERY_AXIS, None)
+    fn = shard_map(
+        body, mesh,
+        in_specs=(lists2, lists2, lists1,            # vids/docids/lens
+                  lists3, lists2, rep, rep,          # sq sidecar
+                  lists2, lists1,                    # centroids
+                  qrow, rep),                        # queries, penalty
+        out_specs=(qrow, qrow, qrow))
+
+    @jax.jit
+    def search(sharded: ShardedIVFSQ, queries, penalty):
+        return fn(sharded.vids, sharded.docids, sharded.lens,
+                  sharded.sq_codes, sharded.sq_norms,
+                  sharded.sq_scale, sharded.sq_off,
+                  sharded.centroids, sharded.cent_norms,
+                  queries, penalty)
+
+    return search
+
+
+# ----------------------------------------------------------------------
 # sharded DENSE scan (reconstruction mirror row-sharded over "l")
 # ----------------------------------------------------------------------
 

@@ -358,3 +358,102 @@ def test_engine_sharded_realtime_tail(tmp_path, rng):
                             vec_fields=[VectorQuery("vec", x[10])]))
     assert r2.results[0].result_items[0].docid == 10
     eng.close()
+
+
+def test_sharded_ivfsq_matches_single_chip(built, rng):
+    """SQ8 capacity tier sharded over "l": with local_probe=nprobe the
+    candidate set is provably identical to the single-chip ivfsq_search,
+    and no rerank/psum step exists — exact distances merge once."""
+    from gamma_tpu.parallel import shard_ivfsq, sharded_ivfsq_search_fn
+    store, idx = built
+    assert idx.sq_active
+    mesh = build_mesh(n_list_shards=4, n_query_shards=2)
+    cap_eff = idx._cap_eff()
+    sh = shard_ivfsq(mesh, idx.state, idx.centroids, idx.cent_norms,
+                     idx.sq_codes, idx.sq_norms, idx.sq_scale,
+                     idx.sq_off, cap_eff=cap_eff)
+    nprobe, k = 16, 10
+    penalty = jnp.zeros(store.n + 64, jnp.float32)
+    q = jnp.asarray(rng.normal(size=(16, store.d)).astype(np.float32))
+    search = sharded_ivfsq_search_fn(mesh, nprobe=nprobe, k=k,
+                                     metric="l2", local_probe=nprobe)
+    sd, sdoc, svid = jax.tree.map(np.asarray, search(sh, q, penalty))
+    rd, rdoc, rvid = jax.tree.map(np.asarray, ivf_scan.ivfsq_search(
+        idx.state, idx.sq_codes, idx.sq_norms, idx.sq_scale, idx.sq_off,
+        idx.centroids, idx.cent_norms, q, penalty,
+        nprobe=nprobe, k=k, metric="l2", scan_impl="xla",
+        cap_eff=cap_eff))
+    np.testing.assert_allclose(sd, rd, rtol=1e-4, atol=1e-3)
+    agree = (sdoc == rdoc).mean()
+    assert agree > 0.95, f"docid agreement {agree}"
+
+
+def test_sharded_ivfsq_respects_penalty(built, rng):
+    from gamma_tpu.parallel import shard_ivfsq, sharded_ivfsq_search_fn
+    store, idx = built
+    mesh = build_mesh(n_list_shards=8, n_query_shards=1)
+    sh = shard_ivfsq(mesh, idx.state, idx.centroids, idx.cent_norms,
+                     idx.sq_codes, idx.sq_norms, idx.sq_scale,
+                     idx.sq_off, cap_eff=idx._cap_eff())
+    pen = np.zeros(store.n + 64, np.float32)
+    pen[::2] = BIG   # mask all even docids
+    q = jnp.asarray(rng.normal(size=(8, store.d)).astype(np.float32))
+    search = sharded_ivfsq_search_fn(mesh, nprobe=16, k=10, metric="l2",
+                                     local_probe=16)
+    _, sdoc, _ = jax.tree.map(np.asarray, search(sh, q, jnp.asarray(pen)))
+    live = sdoc[sdoc >= 0]
+    assert live.size and np.all(live % 2 == 1)
+
+
+def test_engine_sharded_sq8_gather(tmp_path, rng):
+    """Engine-level sharded serving in GATHER mode routes through the
+    SQ8 sharded path (exact scan, one ICI merge): parity with
+    single-chip, filters respected, realtime tail merged."""
+    from gamma_tpu import (Doc, EngineConfig, FieldInfo, GammaEngine,
+                           RangeFilter, Request, TableInfo, VectorInfo,
+                           VectorQuery)
+    from gamma_tpu.config import DataType
+    eng = GammaEngine(EngineConfig(path=str(tmp_path)))
+    eng.create_table(TableInfo(
+        name="shq", fields=[FieldInfo("price", DataType.FLOAT, True)],
+        vectors=[VectorInfo("vec", 32)], indexing_size=1500,
+        retrieval_types=["IVFPQ"],
+        retrieval_params=[{"ncentroids": 32, "nsubvector": 8,
+                           "nprobe": 32, "scan_mode": "gather"}]))
+    x = rng.normal(size=(2000, 32)).astype(np.float32)
+    eng.add_or_update_docs([
+        Doc(key=f"k{i}", fields={"price": float(i)},
+            vectors={"vec": x[i]}) for i in range(2000)])
+    eng.flush()
+    model = eng.vm.index_for("vec")
+    assert model.sq_active
+    ref = eng.search(Request(topn=5, vec_fields=[VectorQuery("vec",
+                                                             x[:8])]))
+    eng.enable_sharded_search(n_list_shards=4, n_query_shards=2)
+    got = eng.search(Request(topn=5, vec_fields=[VectorQuery("vec",
+                                                             x[:8])]))
+    assert eng._sharded.get("sq") is not None        # SQ8 path taken
+    assert eng._sharded["index"] is None             # not the ADC path
+    for b in range(8):
+        r = [it.docid for it in ref.results[b].result_items]
+        g = [it.docid for it in got.results[b].result_items]
+        assert g[0] == b == r[0]
+        assert len(set(r) & set(g)) >= 3
+    fr = eng.search(Request(
+        topn=5, vec_fields=[VectorQuery("vec", x[:8])],
+        range_filters=[RangeFilter("price", 1000.0, 1999.0)]))
+    for sr in fr.results:
+        for it in sr.result_items:
+            assert 1000 <= it.docid <= 1999
+    # realtime tail: new docs after the snapshot still come back
+    eng.add_or_update_docs([
+        Doc(key=f"t{i}", fields={"price": 0.5},
+            vectors={"vec": x[i] + 0.001}) for i in range(4)])
+    eng.flush()
+    tr = eng.search(Request(topn=3, vec_fields=[VectorQuery("vec",
+                                                            x[:4])]))
+    for b in range(4):
+        docs = [it.docid for it in tr.results[b].result_items]
+        assert 2000 + b in docs or b in docs
+    eng.disable_sharded_search()
+    eng.close()
