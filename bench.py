@@ -367,12 +367,13 @@ def main():
         s_fn = sharded_ivfpq_search_fn(
             mesh1, nprobe=nprobe, recall_num=recall_num, k=k,
             metric="l2", rerank=True, v_per_shard=sh1.v_per_shard,
-            scan_impl="pallas")
+            scan_impl="pallas", use_validity=True)
         pen_sh = jnp.zeros(sh1.raw.shape[0], jnp.float32)
         qs256 = qd[:256]
-        jax.block_until_ready(s_fn(sh1, qs256, pen_sh))
+        jax.block_until_ready(s_fn(sh1, qs256, pen_sh, live_n=n))
         sharded_pallas_qps = measure_qps(
-            lambda: s_fn(sh1, qs256, pen_sh), iters=5, reps=2, rows=256)
+            lambda: s_fn(sh1, qs256, pen_sh, live_n=n), iters=5, reps=2,
+            rows=256)
         log(f"sharded shard-body (1x1 mesh, pallas scan): "
             f"{sharded_pallas_qps:,.0f} QPS")
         del sh1, s_fn, pen_sh
@@ -390,12 +391,14 @@ def main():
                           idx.sq_norms, idx.sq_scale, idx.sq_off,
                           cap_eff=idx._cap_eff())
         q_fn = sharded_ivfsq_search_fn(mesh1, nprobe=nprobe, k=k,
-                                       metric="l2", scan_impl="pallas")
+                                       metric="l2", scan_impl="pallas",
+                                       use_validity=True)
         pen_sh = jnp.zeros(n, jnp.float32)
         qs1k = qd[np.arange(1024) % nq]
-        jax.block_until_ready(q_fn(shq, qs1k, pen_sh))
+        jax.block_until_ready(q_fn(shq, qs1k, pen_sh, live_n=n))
         sharded_sq_qps = measure_qps(
-            lambda: q_fn(shq, qs1k, pen_sh), iters=5, reps=2, rows=1024)
+            lambda: q_fn(shq, qs1k, pen_sh, live_n=n), iters=5, reps=2,
+            rows=1024)
         log(f"sharded SQ8 shard-body (1x1 mesh): "
             f"{sharded_sq_qps:,.0f} QPS")
         del shq, q_fn, pen_sh

@@ -650,7 +650,9 @@ class GammaEngine:
                 and not request.brute_force_search and model is not None
                 and model.trained()):
             dists_np, docids_np = self._sharded_search(
-                vq, sp, k, pen_doc, store)
+                vq, sp, k, pen_doc, store,
+                unfiltered=(not request.range_filters
+                            and not request.term_filters))
             dists_np, docids_np = dists_np[:b], docids_np[:b]
         else:
             brute = request.brute_force_search or model is None
@@ -774,7 +776,8 @@ class GammaEngine:
         return pen[:total]
 
     def _sharded_search(self, vq, sp: SearchParams, k: int,
-                        pen_doc: jnp.ndarray, store):
+                        pen_doc: jnp.ndarray, store,
+                        unfiltered: bool = False):
         from gamma_tpu.parallel import (shard_dense, shard_ivfpq,
                                         sharded_dense_search_fn,
                                         sharded_ivfpq_search_fn)
@@ -825,6 +828,7 @@ class GammaEngine:
             if sh.get("sq") is None:
                 with model.mutate_lock:
                     sh["snap_n"]["sq"] = model.indexed_count
+                    sh["del_at_snap_sq"] = self.delete_num
                     sh["sq"] = shard_ivfsq(
                         sh["mesh"], model.state,
                         np.asarray(model.centroids),
@@ -832,16 +836,24 @@ class GammaEngine:
                         model.sq_norms, model.sq_scale, model.sq_off,
                         cap_eff=model._cap_eff())
             snap_n = sh["snap_n"]["sq"]
+            # validity fast path: the doc-space penalty gather costs ~5x
+            # the scan kernel.  Safe only when there is nothing the
+            # penalty would mask: no filters AND no deletes since the
+            # snapshot was frozen (snapshot tombstones are already in
+            # its docids; later deletes exist only in pen_doc).
+            use_val = (unfiltered
+                       and self.delete_num == sh["del_at_snap_sq"])
             nprobe = min(sp.nprobe or model.p.nprobe, model.p.ncentroids)
-            key = ("sq", nprobe, k, self._result_metric(sp), b_pad)
+            key = ("sq", nprobe, k, self._result_metric(sp), b_pad,
+                   use_val)
             fn = sh["fns"].get(key)
             if fn is None:
                 fn = sharded_ivfsq_search_fn(
                     sh["mesh"], nprobe=nprobe, k=k,
-                    metric=self._result_metric(sp))
+                    metric=self._result_metric(sp), use_validity=use_val)
                 sh["fns"][key] = fn
             pen = self._pad_pen(pen_doc, max(self.max_docid, 1))
-            d, doc, vid = fn(sh["sq"], qrot, pen)
+            d, doc, vid = fn(sh["sq"], qrot, pen, live_n=snap_n)
             dists, docids = np.asarray(d), np.asarray(doc)
         else:
             if sh["index"] is None:
@@ -850,20 +862,24 @@ class GammaEngine:
                             model.cent_norms, model.pq,
                             model.store.device)
                     sh["snap_n"]["gather"] = model.indexed_count
+                    sh["del_at_snap_gather"] = self.delete_num
                 sh["index"] = shard_ivfpq(sh["mesh"], *snap)
             snap_n = sh["snap_n"]["gather"]
+            use_val = (unfiltered and self.delete_num
+                       == sh.get("del_at_snap_gather", -1))
             nprobe = min(sp.nprobe or model.p.nprobe, model.p.ncentroids)
             key = (nprobe, max(sp.recall_num, k), k,
-                   self._result_metric(sp), sp.has_rank, b_pad)
+                   self._result_metric(sp), sp.has_rank, b_pad, use_val)
             fn = sh["fns"].get(key)
             if fn is None:
                 fn = sharded_ivfpq_search_fn(
                     sh["mesh"], nprobe=key[0], recall_num=key[1],
                     k=key[2], metric=key[3], rerank=key[4],
-                    v_per_shard=sh["index"].v_per_shard)
+                    v_per_shard=sh["index"].v_per_shard,
+                    use_validity=use_val)
                 sh["fns"][key] = fn
             pen = self._pad_pen(pen_doc, sh["index"].raw.shape[0])
-            d, doc, vid = fn(sh["index"], qrot, pen, qd)
+            d, doc, vid = fn(sh["index"], qrot, pen, qd, live_n=snap_n)
             dists, docids = np.asarray(d), np.asarray(doc)
 
         # realtime tail: docs indexed after the snapshot are served from

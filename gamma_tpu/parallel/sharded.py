@@ -62,6 +62,7 @@ from gamma_tpu.ops import pq as pq_ops
 from gamma_tpu.ops.distances import BIG, pairwise_ip, pairwise_l2
 from gamma_tpu.ops.topk import topk_min
 from gamma_tpu.ops.ivf_scan import (_candidate_mask_penalty,
+                                    _candidate_mask_validity,
                                     _select_candidates)
 from gamma_tpu.realtime.invert_index import IVFState
 
@@ -148,10 +149,11 @@ def shard_ivfpq(mesh: Mesh, state: IVFState, centroids, cent_norms,
 # ----------------------------------------------------------------------
 
 def _local_ivfpq_search(codes, vids, docids, lens, cents_l, cnorms_l,
-                        cb, cb_norms, queries, penalty, raw_l,
+                        cb, cb_norms, queries, penalty, live_n, raw_l,
                         queries_raw,
                         *, nprobe, local_probe, recall_num, k, metric,
-                        rerank, v_per_shard, scan_impl="xla"):
+                        rerank, v_per_shard, scan_impl="xla",
+                        use_validity=False):
     codebooks = pq_ops.PQCodebooks(cb, cb_norms)
     l_loc = cents_l.shape[0]
     cap = codes.shape[1]
@@ -203,7 +205,13 @@ def _local_ivfpq_search(codes, vids, docids, lens, cents_l, cnorms_l,
             lut = pq_ops.l2_lut(codebooks, residual)
             base = 0.0
         dist = pq_ops.adc_scan(lut, codes_g) + base
-    dist = dist + _candidate_mask_penalty(docids_g, lens_g, cap, penalty)
+    # unfiltered fast path: the doc-space penalty gather of B x P x cap
+    # random indices lowers to the scalar core (~5x the scan kernel);
+    # validity is decidable from the gathered state alone
+    mask = (_candidate_mask_validity(docids_g, lens_g, cap, live_n)
+            if use_validity else
+            _candidate_mask_penalty(docids_g, lens_g, cap, penalty))
+    dist = dist + mask
     dist = dist + jnp.where(sel_ok, 0.0, BIG)[..., None]
     dist = jnp.minimum(dist, BIG)
     rd, rdoc, rvid = _select_candidates(dist, docids_g, vids_g, recall_num)
@@ -251,7 +259,8 @@ def sharded_ivfpq_search_fn(mesh: Mesh, *, nprobe: int, recall_num: int,
                             rerank: bool = True,
                             local_probe: Optional[int] = None,
                             v_per_shard: int,
-                            scan_impl: Optional[str] = None):
+                            scan_impl: Optional[str] = None,
+                            use_validity: bool = False):
     """Build the jitted sharded search step for a fixed geometry.
 
     Returned fn: (sharded: ShardedIVFPQ, queries [B, d], penalty [N_cap])
@@ -270,7 +279,8 @@ def sharded_ivfpq_search_fn(mesh: Mesh, *, nprobe: int, recall_num: int,
     body = functools.partial(
         _local_ivfpq_search, nprobe=nprobe, local_probe=local_probe,
         recall_num=recall_num, k=k, metric=metric, rerank=rerank,
-        v_per_shard=v_per_shard, scan_impl=scan_impl)
+        v_per_shard=v_per_shard, scan_impl=scan_impl,
+        use_validity=use_validity)
 
     lists3 = P(LIST_AXIS, None, None)
     lists2 = P(LIST_AXIS, None)
@@ -282,19 +292,20 @@ def sharded_ivfpq_search_fn(mesh: Mesh, *, nprobe: int, recall_num: int,
         in_specs=(lists3, lists2, lists2, lists1,       # state
                   lists2, lists1,                       # centroids
                   rep, rep,                             # codebooks
-                  qrow, rep,                            # queries, penalty
+                  qrow, rep, rep,                # queries, penalty, live_n
                   lists2,                               # raw rows
                   qrow),                                # queries_raw
         out_specs=(qrow, qrow, qrow))
 
     @jax.jit
-    def search(sharded: ShardedIVFPQ, queries, penalty, queries_raw=None):
+    def search(sharded: ShardedIVFPQ, queries, penalty, queries_raw=None,
+               live_n=0):
         st = sharded.state
         qr = queries if queries_raw is None else queries_raw
         return fn(st.codes, st.vids, st.docids, st.lens,
                   sharded.centroids, sharded.cent_norms,
                   sharded.codebooks.codebooks, sharded.codebooks.cb_norms,
-                  queries, penalty, sharded.raw, qr)
+                  queries, penalty, jnp.int32(live_n), sharded.raw, qr)
 
     return search
 
@@ -363,9 +374,9 @@ def shard_ivfsq(mesh: Mesh, state: IVFState, centroids, cent_norms,
 
 def _local_ivfsq_search(vids, docids, lens, sq_codes, sq_norms,
                         sq_scale, sq_off, cents_l, cnorms_l,
-                        queries, penalty,
+                        queries, penalty, live_n,
                         *, nprobe, local_probe, k, metric,
-                        scan_impl="xla"):
+                        scan_impl="xla", use_validity=False):
     l_loc = cents_l.shape[0]
     cap = vids.shape[1]
     m = min(nprobe, l_loc)
@@ -402,8 +413,10 @@ def _local_ivfsq_search(vids, docids, lens, sq_codes, sq_norms,
         raw_dist = sq_raw_dist_xla(sq_codes, sq_norms, sq_scale, sq_off,
                                    cents_l, sel_ids, queries,
                                    metric=metric)
-    dist = raw_dist + _candidate_mask_penalty(docids_g, lens_g, cap,
-                                              penalty)
+    mask = (_candidate_mask_validity(docids_g, lens_g, cap, live_n)
+            if use_validity else
+            _candidate_mask_penalty(docids_g, lens_g, cap, penalty))
+    dist = raw_dist + mask
     dist = dist + jnp.where(sel_ok, 0.0, BIG)[..., None]
     dist = jnp.minimum(dist, BIG)
 
@@ -432,7 +445,8 @@ def _local_ivfsq_search(vids, docids, lens, sq_codes, sq_norms,
 def sharded_ivfsq_search_fn(mesh: Mesh, *, nprobe: int, k: int,
                             metric: str = "l2",
                             local_probe: Optional[int] = None,
-                            scan_impl: Optional[str] = None):
+                            scan_impl: Optional[str] = None,
+                            use_validity: bool = False):
     """Jitted sharded SQ8 capacity search for a fixed geometry.
 
     Returned fn: (sharded: ShardedIVFSQ, queries [B, d], penalty [N_cap])
@@ -447,7 +461,8 @@ def sharded_ivfsq_search_fn(mesh: Mesh, *, nprobe: int, k: int,
 
     body = functools.partial(
         _local_ivfsq_search, nprobe=nprobe, local_probe=local_probe,
-        k=k, metric=metric, scan_impl=scan_impl)
+        k=k, metric=metric, scan_impl=scan_impl,
+        use_validity=use_validity)
 
     lists3 = P(LIST_AXIS, None, None)
     lists2 = P(LIST_AXIS, None)
@@ -459,16 +474,16 @@ def sharded_ivfsq_search_fn(mesh: Mesh, *, nprobe: int, k: int,
         in_specs=(lists2, lists2, lists1,            # vids/docids/lens
                   lists3, lists2, rep, rep,          # sq sidecar
                   lists2, lists1,                    # centroids
-                  qrow, rep),                        # queries, penalty
+                  qrow, rep, rep),            # queries, penalty, live_n
         out_specs=(qrow, qrow, qrow))
 
     @jax.jit
-    def search(sharded: ShardedIVFSQ, queries, penalty):
+    def search(sharded: ShardedIVFSQ, queries, penalty, live_n=0):
         return fn(sharded.vids, sharded.docids, sharded.lens,
                   sharded.sq_codes, sharded.sq_norms,
                   sharded.sq_scale, sharded.sq_off,
                   sharded.centroids, sharded.cent_norms,
-                  queries, penalty)
+                  queries, penalty, jnp.int32(live_n))
 
     return search
 

@@ -457,3 +457,25 @@ def test_engine_sharded_sq8_gather(tmp_path, rng):
         assert 2000 + b in docs or b in docs
     eng.disable_sharded_search()
     eng.close()
+
+
+def test_sharded_ivfsq_validity_matches_penalty(built, rng):
+    """use_validity=True (no doc-space penalty gather) returns the same
+    results as the zero-penalty path when nothing is deleted."""
+    from gamma_tpu.parallel import shard_ivfsq, sharded_ivfsq_search_fn
+    store, idx = built
+    mesh = build_mesh(n_list_shards=4, n_query_shards=2)
+    sh = shard_ivfsq(mesh, idx.state, idx.centroids, idx.cent_norms,
+                     idx.sq_codes, idx.sq_norms, idx.sq_scale,
+                     idx.sq_off, cap_eff=idx._cap_eff())
+    q = jnp.asarray(rng.normal(size=(16, store.d)).astype(np.float32))
+    pen = jnp.zeros(store.n + 64, jnp.float32)
+    f_pen = sharded_ivfsq_search_fn(mesh, nprobe=16, k=10, metric="l2",
+                                    local_probe=16)
+    f_val = sharded_ivfsq_search_fn(mesh, nprobe=16, k=10, metric="l2",
+                                    local_probe=16, use_validity=True)
+    pd, pdoc, _ = jax.tree.map(np.asarray, f_pen(sh, q, pen))
+    vd, vdoc, _ = jax.tree.map(np.asarray,
+                               f_val(sh, q, pen, live_n=store.n))
+    np.testing.assert_allclose(pd, vd, rtol=1e-5, atol=1e-5)
+    assert (pdoc == vdoc).mean() > 0.98
