@@ -30,7 +30,51 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+CACHE_DIR = os.environ.get("GAMMA_BENCH_CACHE", "/tmp/gamma_bench_cache")
+_CACHE_VER = "v1"      # bump when make_corpus/host_gt change semantics
+
+
+def _cache_path(kind, key):
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    return os.path.join(CACHE_DIR, f"{kind}_{_CACHE_VER}_{key}.npz")
+
+
 def make_corpus(n, d, n_clusters, rng, intrinsic=16, geom=None):
+    """Cached wrapper over _make_corpus: this rig's CPU throttles in
+    bursts (20-50x), and a cold 10M corpus draw + shuffle costs minutes
+    of pure host work per bench run.  Bit-exact: the post-draw rng
+    state is stored and restored, so query sampling after a cache hit
+    matches a cold run exactly.  Only first draws (geom=None) at
+    n >= 1M are cached; delete CACHE_DIR to refresh."""
+    if geom is not None or n < 1_000_000:
+        return _make_corpus(n, d, n_clusters, rng, intrinsic, geom)
+    # the key is rng-state-FREE: a hit restores the stored post-draw rng
+    # state, so everything downstream (query sampling, GT) is
+    # deterministic given the cached corpus — recall numbers stay valid
+    # because GT is computed on (cached corpus, derived queries).
+    p = _cache_path("corpus", f"{n}_{d}_{n_clusters}_{intrinsic}")
+    if os.path.exists(p):
+        try:
+            z = np.load(p, allow_pickle=True)
+            rng.bit_generator.state = z["rng_state"].item()
+            log(f"corpus cache hit: {p}")
+            return z["corpus"], (z["basis"], z["centers"])
+        except Exception as exc:
+            log(f"corpus cache unreadable ({exc!r}); regenerating")
+    out, (basis, centers) = _make_corpus(n, d, n_clusters, rng,
+                                         intrinsic, None)
+    try:
+        tmp = p + ".tmp"
+        np.savez(tmp, corpus=out, basis=basis, centers=centers,
+                 rng_state=np.array(rng.bit_generator.state,
+                                    dtype=object))
+        os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", p)
+    except Exception as exc:
+        log(f"corpus cache write failed ({exc!r})")
+    return out, (basis, centers)
+
+
+def _make_corpus(n, d, n_clusters, rng, intrinsic=16, geom=None):
     """SIFT-geometry synthetic corpus: clustered points on a low-intrinsic-
     dimension manifold (real SIFT has intrinsic dim ~12-16) embedded in
     d dims with small ambient noise.  Pure isotropic blobs are a known
@@ -67,6 +111,36 @@ def make_corpus(n, d, n_clusters, rng, intrinsic=16, geom=None):
 
 
 def host_gt(corpus, queries, k, chunk=500_000):
+    """Cached exact f64 ground truth (see make_corpus for why caching:
+    the f64 matmuls are minutes of host CPU at 1M, tens of minutes at
+    10M under throttling).  Keyed by a content hash of the queries and
+    a strided corpus sample, so any data change invalidates it."""
+    import hashlib
+    n = corpus.shape[0]
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(queries).tobytes())
+    h.update(np.ascontiguousarray(corpus[:: max(1, n // 4096)]).tobytes())
+    h.update(str((n, corpus.shape[1], k)).encode())
+    p = _cache_path("gt", f"{n}_{queries.shape[0]}_{k}_"
+                          f"{h.hexdigest()[:16]}")
+    if os.path.exists(p):
+        try:
+            gt = np.load(p)["gt"]
+            log(f"gt cache hit: {p}")
+            return gt
+        except Exception as exc:
+            log(f"gt cache unreadable ({exc!r}); recomputing")
+    gt = _host_gt(corpus, queries, k, chunk)
+    try:
+        tmp = p + ".tmp"
+        np.savez(tmp, gt=gt)
+        os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", p)
+    except Exception as exc:
+        log(f"gt cache write failed ({exc!r})")
+    return gt
+
+
+def _host_gt(corpus, queries, k, chunk=500_000):
     """Exact f64 ground-truth top-k over a host corpus, chunked (f32
     norm-expansion GT misranks ~30% of near-tie boundaries — see
     CLAUDE.md invariant)."""
@@ -577,58 +651,93 @@ def main():
         import gc as _gc
         _gc.collect()
         t10 = time.time()
-        n10, nq10 = 10_000_000, 256
-        corpus10, _ = make_corpus(n10, d, 1024, rng)
-        q10 = corpus10[rng.choice(n10, nq10, replace=False)] + \
-            0.5 * rng.normal(size=(nq10, d)).astype(np.float32)
-        q10 = q10.astype(np.float32)
-        t0 = time.time()
-        gt10 = host_gt(corpus10, q10, k)
-        log(f"10M ground truth (f64): {time.time()-t0:.1f}s")
-        store10 = RawVectorStore("vec10", d, device_dtype=jnp.bfloat16)
-        store10.add(corpus10)
-        store10.flush_device()
-        idx10 = IVFPQIndex(store10, {
-            "ncentroids": nlist, "nsubvector": m, "nprobe": nprobe,
-            "bucket_init_size": max(1024, 3 * n10 // nlist)})
-        t0 = time.time()
-        idx10.train(corpus10[: nlist * 256])
-        log(f"10M train: {time.time()-t0:.1f}s")
-        ids10 = np.arange(n10, dtype=np.int64)
-        rates10 = []
-        t0 = time.time()
-        for s in range(0, n10, add_chunk):
-            e = min(n10, s + add_chunk)
-            tc = time.time()
-            idx10.add(store10.device_rows(s, e), ids10[s:e], ids10[s:e])
-            jax.block_until_ready(idx10.state.lens)
-            rates10.append((e - s) / (time.time() - tc))
-        ins10 = float(np.median(rates10))
-        log(f"10M add: {time.time()-t0:.1f}s; steady {ins10:,.0f}/s")
-        pen10 = jnp.zeros(store10.device.shape[0], jnp.float32)
-        qd10 = jnp.asarray(q10)
+        # a failure at 10M (HBM headroom differs across driver rigs)
+        # must not lose the 1M numbers already measured — report and
+        # continue
+        try:
+            n10, nq10 = 10_000_000, 256
+            corpus10, _ = make_corpus(n10, d, 1024, rng)
+            q10 = corpus10[rng.choice(n10, nq10, replace=False)] + \
+                0.5 * rng.normal(size=(nq10, d)).astype(np.float32)
+            q10 = q10.astype(np.float32)
+            t0 = time.time()
+            gt10 = host_gt(corpus10, q10, k)
+            log(f"10M ground truth (f64): {time.time()-t0:.1f}s")
+            store10 = RawVectorStore("vec10", d, device_dtype=jnp.bfloat16)
+            store10.add(corpus10)
+            store10.flush_device()
+            idx10 = IVFPQIndex(store10, {
+                "ncentroids": nlist, "nsubvector": m, "nprobe": nprobe,
+                "bucket_init_size": max(1024, 3 * n10 // nlist)})
+            t0 = time.time()
+            idx10.train(corpus10[: nlist * 256])
+            log(f"10M train: {time.time()-t0:.1f}s")
+            ids10 = np.arange(n10, dtype=np.int64)
+            rates10 = []
+            t0 = time.time()
+            for s in range(0, n10, add_chunk):
+                e = min(n10, s + add_chunk)
+                tc = time.time()
+                idx10.add(store10.device_rows(s, e), ids10[s:e], ids10[s:e])
+                jax.block_until_ready(idx10.state.lens)
+                rates10.append((e - s) / (time.time() - tc))
+            ins10 = float(np.median(rates10))
+            log(f"10M add: {time.time()-t0:.1f}s; steady {ins10:,.0f}/s")
+            pen10 = jnp.zeros(store10.device.shape[0], jnp.float32)
+            qd10 = jnp.asarray(q10)
 
-        def run10(qb):
-            return idx10.search(qb, pen10, sp, k, validity_n=n10)
+            def run10(qb):
+                return idx10.search(qb, pen10, sp, k, validity_n=n10)
 
-        found10 = []
-        for s in range(0, nq10, 64):
-            _, docs, _ = run10(qd10[s: s + 64])
-            found10.append(np.asarray(docs))
-        found10 = np.concatenate(found10)
-        recall10m = float(np.mean([
-            len(set(found10[i].tolist()) & set(gt10[i].tolist())) / k
-            for i in range(nq10)]))
-        qb10 = qd10[np.arange(2048) % nq10]
-        jax.block_until_ready(run10(qb10))
-        qps10 = measure_qps(lambda: run10(qb10), iters=10, reps=2,
-                            rows=2048)
-        log(f"10M dense: {qps10:,.0f} QPS @ recall@10 {recall10m:.4f} "
-            f"(batch 2048); section wall {time.time()-t10:.0f}s")
-        tenm = {"n": n10, "qps": round(qps10, 1),
-                "recall_at_10": round(recall10m, 4),
-                "inserts_per_s": round(ins10, 0), "batch": 2048}
-        del idx10, store10, corpus10
+            found10 = []
+            for s in range(0, nq10, 64):
+                _, docs, _ = run10(qd10[s: s + 64])
+                found10.append(np.asarray(docs))
+            found10 = np.concatenate(found10)
+            recall10m = float(np.mean([
+                len(set(found10[i].tolist()) & set(gt10[i].tolist())) / k
+                for i in range(nq10)]))
+            qb10 = qd10[np.arange(2048) % nq10]
+            jax.block_until_ready(run10(qb10))
+            qps10 = measure_qps(lambda: run10(qb10), iters=10, reps=2,
+                                rows=2048)
+            log(f"10M dense: {qps10:,.0f} QPS @ recall@10 {recall10m:.4f} "
+                f"(batch 2048); section wall {time.time()-t10:.0f}s")
+            tenm = {"n": n10, "qps": round(qps10, 1),
+                    "recall_at_10": round(recall10m, 4),
+                    "inserts_per_s": round(ins10, 0), "batch": 2048}
+            # 10M capacity tier: the residual-SQ8 sidecar (~4 GB at this
+            # geometry) is resident — measure the gather path at scale
+            if idx10.sq_active:
+                sp_g10 = SearchParams.from_dict({
+                    "scan_mode": "gather", "nprobe": nprobe,
+                    "recall_num": recall_num, "has_rank": True})
+
+                def run_g10(qb):
+                    return idx10.search(qb, pen10, sp_g10, k,
+                                        validity_n=n10)
+
+                found_g10 = []
+                for s_ in range(0, nq10, 64):
+                    _, docs, _ = run_g10(qd10[s_: s_ + 64])
+                    found_g10.append(np.asarray(docs))
+                found_g10 = np.concatenate(found_g10)
+                rec_g10 = float(np.mean([
+                    len(set(found_g10[i].tolist())
+                        & set(gt10[i].tolist())) / k
+                    for i in range(nq10)]))
+                qbg10 = qd10[np.arange(1024) % nq10]
+                jax.block_until_ready(run_g10(qbg10))
+                gqps10 = measure_qps(lambda: run_g10(qbg10), iters=5,
+                                     reps=2, rows=1024)
+                log(f"10M gather (SQ8): {gqps10:,.0f} QPS @ recall@10 "
+                    f"{rec_g10:.4f} (batch 1024)")
+                tenm["gather_qps"] = round(gqps10, 1)
+                tenm["gather_recall_at_10"] = round(rec_g10, 4)
+            del idx10, store10, corpus10
+        except Exception as exc:
+            log(f"10M section failed: {exc!r}")
+            tenm = {"error": repr(exc)[:300]}
 
     print(json.dumps({
         "metric": "sift1m_geom_ivfpq_qps_at_recall10",

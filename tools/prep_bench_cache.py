@@ -1,0 +1,53 @@
+"""Pre-populate the bench corpus/GT cache (bench.py CACHE_DIR).
+
+This rig's host CPU throttles in long bursts; the pure-CPU phases of
+bench.py (clustered corpus draws + f64 ground truth) can cost 10-60
+minutes under throttling. Running this once caches them; bench then
+reproduces the exact same data via the stored post-draw rng states.
+
+Mirrors bench.py's call sequence exactly:
+  1M:  rng(0) -> make_corpus(1M) -> queries -> host_gt(k=10)
+  10M: make_corpus(10M) (any rng; key is state-free) -> q10 from the
+       stored post-state -> host_gt
+
+Usage: python tools/prep_bench_cache.py [--tenm]
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import bench  # noqa: E402
+
+
+def main():
+    d, k = 128, 10
+    # ---- 1M config (driver default: n=1M, nq=1024) ----
+    rng = np.random.default_rng(0)
+    n, nq = 1_000_000, 1024
+    corpus, _ = bench.make_corpus(n, d, 1024, rng)
+    queries = corpus[rng.choice(n, nq, replace=False)] + \
+        0.5 * rng.normal(size=(nq, d)).astype(np.float32)
+    queries = queries.astype(np.float32)
+    bench.log("1M corpus ready; computing/loading GT")
+    bench.host_gt(corpus, queries, k)
+    bench.log("1M GT cached")
+
+    if "--tenm" in sys.argv:
+        # ---- 10M section: state-free corpus key; q10 must be drawn
+        # with the post-draw state stored in the cache entry, which
+        # make_corpus restores onto whatever rng we pass ----
+        n10, nq10 = 10_000_000, 256
+        corpus10, _ = bench.make_corpus(n10, d, 1024, rng)
+        q10 = corpus10[rng.choice(n10, nq10, replace=False)] + \
+            0.5 * rng.normal(size=(nq10, d)).astype(np.float32)
+        q10 = q10.astype(np.float32)
+        bench.log("10M corpus ready; computing/loading GT")
+        bench.host_gt(corpus10, q10, k)
+        bench.log("10M GT cached")
+
+
+if __name__ == "__main__":
+    main()
