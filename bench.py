@@ -641,7 +641,19 @@ def main():
     # and the batch-2048 QPS — the numbers README previously reported
     # from manual runs only.  GAMMA_BENCH_TENM=0 skips.
     tenm = None
-    if (os.environ.get("GAMMA_BENCH_TENM", "1") == "1"
+    # host-speed gate: with a cold cache the 10M corpus + f64 GT are
+    # pure host CPU; on a throttled host (this rig swings 20-50x) that
+    # is hours — skip rather than risk the whole artifact, UNLESS the
+    # cache already holds the 10M corpus (then the section is ~1 min of
+    # host work + TPU time).
+    tenm_cached = os.path.exists(_cache_path("corpus", "10000000_128_1024_16"))
+    tenm_ok = tenm_cached or (time.time() - t_start) < 900
+    if not tenm_ok:
+        log(f"10M section skipped: no cached corpus and the run is "
+            f"already {time.time()-t_start:.0f}s in (throttled host); "
+            f"run tools/prep_bench_cache.py --tenm to enable")
+        tenm = {"skipped": "host_too_slow_and_cold_cache"}
+    if (os.environ.get("GAMMA_BENCH_TENM", "1") == "1" and tenm_ok
             and n == 1_000_000 and jax.default_backend() == "tpu"):
         # free the 1M index + store + every closure that captured them
         # (a surviving closure cell keeps the HBM buffers alive)
