@@ -16,6 +16,7 @@ absolute QPS number for SIFT1M; benchs/README.md plots saturate in the
 thousands).  The BASELINE.json target is >=10x (vs_baseline >= 10).
 """
 
+import functools
 import json
 import os
 import sys
@@ -130,7 +131,17 @@ def host_gt(corpus, queries, k, chunk=500_000):
             return gt
         except Exception as exc:
             log(f"gt cache unreadable ({exc!r}); recomputing")
-    gt = _host_gt(corpus, queries, k, chunk)
+    # TPU-assisted path when a chip is attached: the pure f64 host
+    # matmuls cost 40+ minutes under this rig's CPU throttling
+    try:
+        import jax
+        use_dev = jax.default_backend() == "tpu"
+    except Exception:
+        use_dev = False
+    if use_dev:
+        gt = _device_gt(corpus, queries, k, chunk=chunk)
+    else:
+        gt = _host_gt(corpus, queries, k, chunk)
     try:
         tmp = p + ".tmp"
         np.savez(tmp, gt=gt)
@@ -138,6 +149,55 @@ def host_gt(corpus, queries, k, chunk=500_000):
     except Exception as exc:
         log(f"gt cache write failed ({exc!r})")
     return gt
+
+
+def _device_gt(corpus, queries, k, cand=1024, chunk=500_000):
+    """Exact f64 ground truth via a TPU-assisted two-pass: f32 candidate
+    select on the chip (top-`cand` per 500k chunk — the f32 expansion
+    error of ~1e-1 absolute cannot displace a true top-10 row past rank
+    1024), then an exact f64 host rerank of the per-query candidate
+    union (nq x cand·chunks x d — trivial FLOPs).  Replaces the pure
+    f64 host matmuls that cost 40+ minutes under this rig's CPU
+    throttling; identical output to _host_gt up to f64 ties."""
+    import jax
+    import jax.numpy as jnp
+    nq = queries.shape[0]
+    n = corpus.shape[0]
+    qd = jnp.asarray(queries.astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnames=("cand",))
+    def scan(c, cn, qd, cand):
+        cross = jax.lax.dot_general(
+            qd, c, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        dist = cn[None, :] - 2.0 * cross       # + ||q||² is rank-neutral
+        nd, idx = jax.lax.top_k(-dist, cand)
+        return -nd, idx
+
+    all_i = []
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        block = corpus[s:e]
+        if e - s < chunk:                      # pad: one compiled shape
+            block = np.concatenate(
+                [block, np.zeros((chunk - (e - s), block.shape[1]),
+                                 block.dtype)])
+        c = jnp.asarray(block.astype(np.float32))
+        cn = jnp.sum(c * c, axis=-1)
+        cn = jnp.where(jnp.arange(chunk) < (e - s), cn, jnp.inf)
+        _, idx = scan(c, cn, qd, cand)
+        all_i.append(np.asarray(idx, np.int64) + s)
+        del c, cn
+    cands = np.concatenate(all_i, axis=1)      # [nq, cand*chunks]
+    out = np.empty((nq, k), np.int64)
+    q64 = queries.astype(np.float64)
+    for i in range(nq):
+        ci = cands[i]
+        diff = corpus[ci].astype(np.float64) - q64[i]
+        dd = np.einsum("cd,cd->c", diff, diff)
+        order = np.argsort(dd)[:k]
+        out[i] = ci[order]
+    return out
 
 
 def _host_gt(corpus, queries, k, chunk=500_000):
