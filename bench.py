@@ -778,8 +778,12 @@ def main():
             tenm = {"n": n10, "qps": round(qps10, 1),
                     "recall_at_10": round(recall10m, 4),
                     "inserts_per_s": round(ins10, 0), "batch": 2048}
-            # 10M capacity tier: the residual-SQ8 sidecar (~4 GB at this
-            # geometry) is resident — measure the gather path at scale
+            # 10M capacity tier: drop the dense mirror first (a real
+            # beyond-HBM deployment never holds it; this frees ~2.7 GB
+            # so the SQ8 sidecar + scan transients fit) and measure the
+            # gather path at scale.  Batch 512: the exact-select
+            # transient is [B, P*cap_eff] f32.
+            idx10.release_recon()
             if idx10.sq_active:
                 sp_g10 = SearchParams.from_dict({
                     "scan_mode": "gather", "nprobe": nprobe,
@@ -798,14 +802,16 @@ def main():
                     len(set(found_g10[i].tolist())
                         & set(gt10[i].tolist())) / k
                     for i in range(nq10)]))
-                qbg10 = qd10[np.arange(1024) % nq10]
+                qbg10 = qd10[np.arange(512) % nq10]
                 jax.block_until_ready(run_g10(qbg10))
                 gqps10 = measure_qps(lambda: run_g10(qbg10), iters=5,
-                                     reps=2, rows=1024)
-                log(f"10M gather (SQ8): {gqps10:,.0f} QPS @ recall@10 "
-                    f"{rec_g10:.4f} (batch 1024)")
+                                     reps=2, rows=512)
+                log(f"10M gather (SQ8, no dense mirror): {gqps10:,.0f} "
+                    f"QPS @ recall@10 {rec_g10:.4f} (batch 512)")
                 tenm["gather_qps"] = round(gqps10, 1)
                 tenm["gather_recall_at_10"] = round(rec_g10, 4)
+            else:
+                log("10M gather skipped: SQ8 sidecar inactive")
             del idx10, store10, corpus10
         except Exception as exc:
             log(f"10M section failed: {exc!r}")

@@ -511,9 +511,12 @@ class IVFPQIndex(RetrievalModel):
             self.state.lens, assign, vids_d, nlist=self.p.ncentroids)
         need = int(need_d)          # the one host sync on the add path
         if need > self.state.cap:
-            new_cap = self.state.cap
-            while new_cap < need:
-                new_cap *= 2
+            # bounded overshoot, not pow2 (utils/growth.py): list state
+            # carries codes + ids + the SQ8 sidecar — doubling a large
+            # cap wastes up to 2x HBM and evicted the sidecar past its
+            # byte budget at the 10M geometry
+            from gamma_tpu.utils.growth import grow_rows
+            new_cap = grow_rows(self.state.cap, need, quantum=1024)
             if new_cap > self.p.bucket_max_size:
                 # bucket_max_size is a sizing hint (reference caps lists
                 # there); clamping below `need` would silently drop the
@@ -664,6 +667,19 @@ class IVFPQIndex(RetrievalModel):
             pen = jnp.pad(penalty, (0, cap - penalty.shape[0]),
                           constant_values=BIG)
         return pen + self.recon_valid
+
+    def release_recon(self) -> None:
+        """Drop the dense reconstruction mirror and serve gather-only —
+        the capacity-tier operating point (a beyond-HBM deployment never
+        holds the [N, d] mirror; the SQ8 sidecar / ADC codes are the
+        scan payload).  Frees ~N*d*recon_dtype bytes of HBM; irreversible
+        until a dump/load rebuilds the mirror."""
+        with self.mutate_lock:
+            self.keep_recon = False
+            self.recon = jnp.zeros((8, self.d), self.recon_dtype)
+            self.recon_norms = jnp.zeros((8,), jnp.float32)
+            self.recon_valid = jnp.full((8,), BIG, jnp.float32)
+            self.recon_bias = jnp.full((8,), BIG, jnp.float32)
 
     def scan_mode(self, sp: SearchParams) -> str:
         if not self.keep_recon:

@@ -56,8 +56,14 @@ def train_sq(x: jnp.ndarray, eps: float = 1e-8
     recall@10 ceiling 0.979 (global) vs >0.99 (residual) at the 1M
     bench geometry."""
     xf = x.astype(jnp.float32)
-    lo = jnp.min(xf, axis=0)
-    hi = jnp.max(xf, axis=0)
+    # clip the fit range at the 0.05/99.95 percentiles: a min/max fit
+    # lets a handful of outlier rows inflate the step for EVERY row
+    # (measured: ~2x wider steps on the bench residuals → the bulk of
+    # the no-rerank tier's recall loss).  Rows outside the clipped
+    # range clamp in encode_sq — rare, and their norms stay exact, so
+    # only their own distances blur.
+    lo = jnp.percentile(xf, 0.05, axis=0)
+    hi = jnp.percentile(xf, 99.95, axis=0)
     scale = jnp.maximum(hi - lo, eps) / 255.0
     return scale, lo
 

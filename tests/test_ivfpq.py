@@ -299,3 +299,19 @@ def test_split_commit_parity(corpus_medium, monkeypatch):
         outs.append((np.asarray(d), np.asarray(doc)))
     assert (outs[0][1] == outs[1][1]).all()
     np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+
+
+def test_release_recon_serves_gather(built, rng_mod):
+    """release_recon drops the dense mirror (capacity-tier operating
+    point): search auto-routes to gather mode and stays correct."""
+    import copy
+    x, store, idx, pen = built
+    # work on a shallow copy so module-scoped fixture state survives
+    idx2 = copy.copy(idx)
+    idx2.release_recon()
+    assert idx2.scan_mode(SearchParams.from_dict({})) == "gather"
+    q = jnp.asarray(x[:8])
+    d, docs, _ = idx2.search(q, pen, SearchParams.from_dict(
+        {"recall_num": 64, "has_rank": True}), 10)
+    docs = np.asarray(docs)
+    assert (docs[:, 0] == np.arange(8)).mean() >= 0.9  # self-retrieval
