@@ -265,7 +265,10 @@ def main():
     store_dt = (jnp.bfloat16
                 if os.environ.get("GAMMA_BENCH_STORE", "f32") == "bf16"
                 else jnp.float32)
-    store = RawVectorStore("vec", d, device_dtype=store_dt)
+    # init_cap pre-sized: pow2 host regrowth re-memcpys ~2x the corpus
+    # (minutes under this rig's throttling)
+    store = RawVectorStore("vec", d, device_dtype=store_dt,
+                           init_cap=n + (1 << 20))
     store.add(corpus)
     store.flush_device()
 
@@ -735,7 +738,9 @@ def main():
             t0 = time.time()
             gt10 = host_gt(corpus10, q10, k)
             log(f"10M ground truth (f64): {time.time()-t0:.1f}s")
-            store10 = RawVectorStore("vec10", d, device_dtype=jnp.bfloat16)
+            store10 = RawVectorStore("vec10", d,
+                                     device_dtype=jnp.bfloat16,
+                                     init_cap=n10 + 1024)
             store10.add(corpus10)
             store10.flush_device()
             idx10 = IVFPQIndex(store10, {
