@@ -89,6 +89,55 @@ def _sq_append(sq_codes, sq_norms, assign, positions, vids, codes, norms):
             sq_norms.at[li, pos].set(norms, mode="drop"))
 
 
+@functools.partial(jax.jit, static_argnames=("lb", "has_rot"))
+def _sq_block_residuals(store_rows, vids, lens, cents, rot, start, *,
+                        lb: int, has_rot: bool):
+    """Residuals for a block of `lb` lists read back from the raw store
+    (the scale-fit pass of build_sq_sidecar).  → (res [lb*cap, d] f32,
+    live [lb*cap] bool)."""
+    vb = jax.lax.dynamic_slice_in_dim(vids, start, lb, axis=0)
+    lensb = jax.lax.dynamic_slice_in_dim(lens, start, lb, axis=0)
+    cb = jax.lax.dynamic_slice_in_dim(cents, start, lb, axis=0)
+    idx = jnp.clip(vb, 0, store_rows.shape[0] - 1).reshape(-1)
+    xf = jnp.take(store_rows, idx, axis=0).astype(jnp.float32)
+    if has_rot:
+        xf = xf @ rot
+    cap = vb.shape[1]
+    res = xf - jnp.repeat(cb, cap, axis=0)
+    pos = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    live = ((vb >= 0) & (pos < lensb[:, None])).reshape(-1)
+    return res, live
+
+
+@functools.partial(jax.jit, static_argnames=("d_pad", "lb", "has_rot"),
+                   donate_argnums=(0, 1))
+def _sq_block_encode(sq_codes, sq_norms, store_rows, vids, cents, rot,
+                     scale, off, start, *, d_pad: int, lb: int,
+                     has_rot: bool):
+    """Encode one block of `lb` lists into the (donated) sidecar: the
+    post-hoc build path never exposes these buffers to searches until
+    the final publish, so donation is safe — without it each block
+    update would copy the full multi-GB sidecar.  Dead slots (vids < 0
+    / beyond lens) encode garbage rows, matching the ingest path's
+    stale-data-at-dead-slots behavior (scans mask by length/validity)."""
+    from gamma_tpu.ops.pallas_gsq import encode_sq
+    vb = jax.lax.dynamic_slice_in_dim(vids, start, lb, axis=0)
+    cb = jax.lax.dynamic_slice_in_dim(cents, start, lb, axis=0)
+    idx = jnp.clip(vb, 0, store_rows.shape[0] - 1).reshape(-1)
+    xf = jnp.take(store_rows, idx, axis=0).astype(jnp.float32)
+    if has_rot:
+        xf = xf @ rot
+    cap = vb.shape[1]
+    coarse = jnp.repeat(cb, cap, axis=0)
+    codes, norms = encode_sq(xf, scale, off, coarse, d_pad=d_pad,
+                             residual=True)
+    sq_codes = jax.lax.dynamic_update_slice_in_dim(
+        sq_codes, codes.reshape(lb, cap, d_pad), start, axis=0)
+    sq_norms = jax.lax.dynamic_update_slice_in_dim(
+        sq_norms, norms.reshape(lb, cap), start, axis=0)
+    return sq_codes, sq_norms
+
+
 @jax.jit
 def _recon_append(recon, recon_norms, recon_bias, vids, rows, row_norms):
     # negative (padding) vids must become positive out-of-bounds before
@@ -306,15 +355,29 @@ class IVFPQIndex(RetrievalModel):
             x = x[rng.choice(n, hi, replace=False)]
         return x
 
-    def train(self, x: np.ndarray) -> None:
+    def train(self, x: np.ndarray, coarse=None) -> None:
+        """`coarse=(centroids[, cent_norms])` seeds the coarse quantizer
+        and skips its k-means: production systems share ONE coarse
+        quantizer across index variants over the same corpus (the
+        reference's GPU path likewise clones the CPU twin's trained
+        quantizer rather than retraining, gamma_index_ivfpq_gpu.cc).
+        The provided centroids must live in THIS model's rotated space —
+        only share between models with identical OPQ settings."""
         x = self.clamp_train_set(np.asarray(x, np.float32))
         xd = jnp.asarray(x)
         if self.p.has_opq:
             self.opq_rot = self._train_opq_init(xd)
             xd = xd @ self.opq_rot
-        cents, _ = km.kmeans(xd, self.p.ncentroids, iters=10, seed=0)
-        self.centroids = cents
-        self.cent_norms = l2_norms(cents)
+        if coarse is not None:
+            cents = jnp.asarray(coarse[0])
+            self.centroids = cents
+            self.cent_norms = (jnp.asarray(coarse[1])
+                               if len(coarse) > 1 and coarse[1] is not None
+                               else l2_norms(cents))
+        else:
+            cents, _ = km.kmeans(xd, self.p.ncentroids, iters=10, seed=0)
+            self.centroids = cents
+            self.cent_norms = l2_norms(cents)
         assign = _assign_chunked(xd, cents, self.cent_norms)
         residuals = xd - jnp.take(cents, assign, axis=0)
         self.pq = pq_ops.train_pq(residuals, self.p.nsubvector,
@@ -322,10 +385,16 @@ class IVFPQIndex(RetrievalModel):
         if self.p.has_opq:
             self._refine_opq(xd, residuals)
         if self.sq_payload == "sq8":
-            # fit the SQ8 range on FINAL-rotation residuals
-            xr = self._rotate(jnp.asarray(x))
-            a = _assign_chunked(xr, self.centroids, self.cent_norms)
-            self._sq_init(xr - jnp.take(self.centroids, a, axis=0))
+            if self.p.has_opq:
+                # OPQ refinement changed the rotation — re-derive
+                # FINAL-rotation residuals for the SQ8 range fit
+                xr = self._rotate(jnp.asarray(x))
+                a = _assign_chunked(xr, self.centroids, self.cent_norms)
+                self._sq_init(xr - jnp.take(self.centroids, a, axis=0))
+            else:
+                # no rotation: the PQ-training residuals ARE the
+                # final-space residuals (saves a full assignment pass)
+                self._sq_init(residuals)
         self._trained = True
 
     # ---- residual-SQ8 gather payload (ops/pallas_gsq.py) ----
@@ -379,6 +448,66 @@ class IVFPQIndex(RetrievalModel):
         while ce < self._max_len:
             ce *= 2
         return min(ce, cap)
+
+    def build_sq_sidecar(self, sample_rows: int = 262_144) -> bool:
+        """Post-hoc residual-SQ8 sidecar build from the posting state +
+        device raw store — capacity-tier PROMOTION: a deployment that
+        ingested with the sidecar disabled (gather_payload="pq"), or that
+        dropped it past the byte budget, switches to the exact-SQ8 gather
+        tier without re-ingesting.  The 10M bench uses this to avoid ever
+        holding the dense mirror AND the sidecar simultaneously (their sum
+        OOMs one 16 GB chip at 10M x 128; reference scale story:
+        benchs/README.md "recalls of SIFT10M").
+
+        Fits scale/off on live residuals when not already fitted, then
+        encodes list blocks straight from the device store with donated
+        sidecar updates (single-generation in HBM).  Returns True when the
+        sidecar is active afterwards."""
+        assert self._trained, "build_sq_sidecar before train"
+        with self.mutate_lock:
+            nlist, cap = self.state.nlist, self.state.cap
+            d_pad = self._sq_d_pad
+            self.sq_payload = "sq8"
+            if nlist * cap * (d_pad + 4) > SQ_BYTES_BUDGET:
+                self._sq_drop("build")
+                return False
+            rot = (self.opq_rot if self.opq_rot is not None
+                   else jnp.zeros((0, 0), jnp.float32))
+            has_rot = self.opq_rot is not None
+            # block size bounds the f32 row gather to ~64 MB
+            lb = max(1, min(nlist, (64 << 20) // max(1, cap * self.d * 4)))
+            if self.sq_scale is None:
+                from gamma_tpu.ops.pallas_gsq import train_sq
+                chunks, got = [], 0
+                for s in range(0, nlist - lb + 1, lb):
+                    res, live = _sq_block_residuals(
+                        self.store.device, self.state.vids,
+                        self.state.lens, self.centroids, rot,
+                        jnp.int32(s), lb=lb, has_rot=has_rot)
+                    r = np.asarray(res)[np.asarray(live)]
+                    chunks.append(r)
+                    got += r.shape[0]
+                    if got >= sample_rows:
+                        break
+                samp = np.concatenate(chunks)[:sample_rows]
+                if samp.shape[0] == 0:
+                    self._sq_drop("build")
+                    return False
+                self.sq_scale, self.sq_off = train_sq(jnp.asarray(samp))
+            sq_codes = jnp.zeros((nlist, cap, d_pad), jnp.uint8)
+            sq_norms = jnp.zeros((nlist, cap), jnp.float32)
+            # dynamic_slice clamps the final partial block to nlist-lb:
+            # the overlapped lists re-encode to identical values
+            starts = list(range(0, nlist - lb + 1, lb))
+            if not starts or starts[-1] + lb < nlist:
+                starts.append(nlist - lb)
+            for s in starts:
+                sq_codes, sq_norms = _sq_block_encode(
+                    sq_codes, sq_norms, self.store.device, self.state.vids,
+                    self.centroids, rot, self.sq_scale, self.sq_off,
+                    jnp.int32(s), d_pad=d_pad, lb=lb, has_rot=has_rot)
+            self.sq_codes, self.sq_norms = sq_codes, sq_norms
+            return True
 
     def _train_opq_init(self, x: jnp.ndarray) -> jnp.ndarray:
         """OPQ rotation init: PCA-orthonormal basis (reference trains a

@@ -315,3 +315,96 @@ def test_release_recon_serves_gather(built, rng_mod):
         {"recall_num": 64, "has_rank": True}), 10)
     docs = np.asarray(docs)
     assert (docs[:, 0] == np.arange(8)).mean() >= 0.9  # self-retrieval
+
+
+def test_build_sq_sidecar_posthoc_matches_ingest(rng_mod):
+    """Capacity-tier promotion: an index built with the SQ8 sidecar
+    DISABLED during ingest (gather_payload="pq"), then promoted via
+    build_sq_sidecar(), must produce the same sidecar contents (same
+    quantized codes for live slots) and the same gather-mode search
+    results as one that maintained the sidecar at ingest time — the
+    10M bench relies on this to stay inside HBM."""
+    rng = np.random.default_rng(21)
+    n, d, nlist = 6000, 64, 32
+    centers = rng.normal(size=(48, d)).astype(np.float32)
+    x = (centers[rng.integers(0, 48, n)]
+         + 0.15 * rng.normal(size=(n, d))).astype(np.float32)
+    vids = np.arange(n, dtype=np.int64)
+
+    def build(payload):
+        store = RawVectorStore(f"v_{payload}", d)
+        store.add(x)
+        store.flush_device()
+        idx = IVFPQIndex(store, {"ncentroids": nlist, "nsubvector": 16,
+                                 "nprobe": 8, "gather_payload": payload})
+        idx.train(x)
+        idx.add(x, vids, vids)
+        return idx
+
+    ref = build("sq8")
+    assert ref.sq_active
+    promoted = build("pq")
+    assert not promoted.sq_active
+    assert promoted.build_sq_sidecar()
+    assert promoted.sq_active
+
+    # scale/off were fitted on different samples; refit equality is not
+    # required — reuse ref's fit so codes compare level-for-level.
+    # (Bit-exactness is NOT the contract: the two paths compile into
+    # different fused graphs whose f32 rounding can flip codes sitting
+    # exactly on a quantization boundary by one level.)
+    promoted.sq_scale, promoted.sq_off = ref.sq_scale, ref.sq_off
+    promoted.sq_codes = promoted.sq_norms = None
+    assert promoted.build_sq_sidecar()
+    lens = np.asarray(ref.state.lens)
+    rc = np.asarray(ref.sq_codes).astype(np.int16)
+    pc = np.asarray(promoted.sq_codes).astype(np.int16)
+    rn, pn = np.asarray(ref.sq_norms), np.asarray(promoted.sq_norms)
+    in_len = (np.arange(rc.shape[1])[None, :, None]
+              < lens[:, None, None])
+    diff = np.abs(rc - pc)[np.broadcast_to(in_len, rc.shape)]
+    assert diff.max() <= 1, f"codes differ by >1 level: {diff.max()}"
+    assert (diff != 0).mean() < 0.10, \
+        f"too many boundary flips: {(diff != 0).mean():.3f}"
+    live2 = np.arange(rn.shape[1])[None, :] < lens[:, None]
+    np.testing.assert_allclose(rn[live2], pn[live2], rtol=2e-2)
+
+    q = jnp.asarray(x[:16])
+    pen = jnp.zeros(n, np.float32)
+    sp = SearchParams.from_dict({"scan_mode": "gather", "recall_num": 64,
+                                 "has_rank": True})
+    d_r, doc_r, _ = ref.search(q, pen, sp, 10)
+    d_p, doc_p, _ = promoted.search(q, pen, sp, 10)
+    doc_r, doc_p = np.asarray(doc_r), np.asarray(doc_p)
+    overlap = np.mean([len(set(doc_r[b]) & set(doc_p[b])) / 10
+                       for b in range(doc_r.shape[0])])
+    assert overlap >= 0.9, f"ingest vs promoted top-10 overlap {overlap}"
+
+
+def test_build_sq_sidecar_own_fit_recall(rng_mod):
+    """The promotion path's OWN scale/off fit (sampled from live
+    residuals) serves gather search at healthy recall."""
+    rng = np.random.default_rng(22)
+    n, d, nlist = 6000, 64, 32
+    centers = rng.normal(size=(48, d)).astype(np.float32)
+    x = (centers[rng.integers(0, 48, n)]
+         + 0.15 * rng.normal(size=(n, d))).astype(np.float32)
+    vids = np.arange(n, dtype=np.int64)
+    store = RawVectorStore("v_ownfit", d)
+    store.add(x)
+    store.flush_device()
+    idx = IVFPQIndex(store, {"ncentroids": nlist, "nsubvector": 16,
+                             "nprobe": 8, "gather_payload": "pq"})
+    idx.train(x)
+    idx.add(x, vids, vids)
+    idx.release_recon()
+    assert idx.build_sq_sidecar()
+    q = jnp.asarray(x[rng.integers(0, n, 32)])
+    pen = jnp.zeros(n, np.float32)
+    sp = SearchParams.from_dict({"recall_num": 64, "has_rank": True})
+    _, docs, _ = idx.search(q, pen, sp, 10)
+    docs = np.asarray(docs)
+    want = exact_topk(x, np.asarray(q), 10)
+    recall = np.mean([len(set(docs[b]) & set(want[b])) / 10
+                      for b in range(32)])
+    assert recall >= 0.8, f"promoted-sidecar recall@10 = {recall}"
