@@ -104,17 +104,30 @@ class IVFPQFastScanIndex(IVFPQIndex):
 
     # ---- training: PQ on the rotated vector, not the residual ----
 
-    def train(self, x: np.ndarray) -> None:
+    def train(self, x: np.ndarray, coarse=None) -> None:
         if self.by_residual:
             # residual 4-bit PQ trains exactly like 8-bit IVFPQ
-            # (nbits_per_idx=4 is already forced in params)
-            super().train(x)
+            # (nbits_per_idx=4 is already forced in params); `coarse`
+            # seeds a shared coarse quantizer (see IVFPQIndex.train)
+            super().train(x, coarse=coarse)
             return
         x = self.clamp_train_set(np.asarray(x, np.float32))
         xd = jnp.asarray(x)
         if self.p.has_opq:
             self.opq_rot = self._train_opq_init(xd)
             xd = xd @ self.opq_rot
+        if coarse is not None:
+            cents = jnp.asarray(coarse[0])
+            self.centroids = cents
+            self.cent_norms = (jnp.asarray(coarse[1])
+                               if len(coarse) > 1 and coarse[1] is not None
+                               else l2_norms(cents))
+            self.pq = pq_ops.train_pq(xd, self.p.nsubvector,
+                                      nbits=4, iters=12)
+            if self.p.has_opq:
+                self._refine_opq_fs(xd)
+            self._trained = True
+            return
         cents, _ = km.kmeans(xd, self.p.ncentroids, iters=10, seed=0)
         self.centroids = cents
         self.cent_norms = l2_norms(cents)

@@ -129,3 +129,43 @@ def test_dump_load_roundtrip(built, tmp_path):
     assert idx2.load(str(tmp_path)) == idx.indexed_count
     _, after, _ = idx2.search(q, penalty, sp, 10)
     assert (np.asarray(before) == np.asarray(after)).all()
+
+
+def test_train_with_shared_coarse(rng):
+    """coarse=(centroids, norms) seeds the coarse quantizer (no k-means
+    rerun): the bench shares IVFPQ's quantizer with FastScan.  Recall
+    must match a self-trained build on the same data."""
+    from gamma_tpu.index.ivfpq import IVFPQIndex
+    corpus = make_blobs(np.random.default_rng(11), 8000, 64, n_clusters=64)
+    ids = np.arange(corpus.shape[0], dtype=np.int64)
+
+    store_a = RawVectorStore("va", 64)
+    store_a.add(corpus)
+    store_a.flush_device()
+    donor = IVFPQIndex(store_a, {"ncentroids": 64, "nsubvector": 16,
+                                 "nprobe": 16})
+    donor.train(corpus)
+
+    store_b = RawVectorStore("vb", 64)
+    store_b.add(corpus)
+    store_b.flush_device()
+    fs = IVFPQFastScanIndex(store_b, {"ncentroids": 64, "nsubvector": 32,
+                                      "nprobe": 16})
+    fs.train(corpus, coarse=(donor.centroids, donor.cent_norms))
+    assert np.asarray(fs.centroids is donor.centroids
+                      or np.array_equal(np.asarray(fs.centroids),
+                                        np.asarray(donor.centroids)))
+    fs.add(corpus, ids, ids)
+
+    q = corpus[np.random.default_rng(12).integers(0, 8000, 32)]
+    pen = jnp.zeros(8000, np.float32)
+    sp = SearchParams.from_dict({"recall_num": 64, "has_rank": True,
+                                 "scan_mode": "gather"})
+    _, docs, _ = fs.search(jnp.asarray(q), pen, sp, 10)
+    docs = np.asarray(docs)
+    d_ex = ((q[:, None].astype(np.float64)
+             - corpus[None].astype(np.float64)) ** 2).sum(-1)
+    want = np.argsort(d_ex, axis=1)[:, :10]
+    recall = np.mean([len(set(docs[b]) & set(want[b])) / 10
+                      for b in range(32)])
+    assert recall >= 0.85, f"shared-coarse recall@10 = {recall}"
