@@ -266,22 +266,19 @@ class GammaEngine:
 
     def del_doc_by_query(self, request: Request) -> int:
         """Delete every doc matching the request's range AND term filters
-        (reference: GammaEngine::DelDocByQuery accepts the same filter
-        set as search)."""
+        (reference: GammaEngine::DelDocByQuery routes through
+        MultiFieldsRangeIndex::Search, field_range_index.cc:1015-1115).
+        Matching runs against the filter index — device column mirrors +
+        term postings — not a host column scan (an O(N) f64 host pass
+        crawls at 10M rows); the incremental mirror flush first gives
+        read-your-writes freshness."""
         if not request.range_filters and not request.term_filters:
             return 0
-        n = self.table.n
-        mask = np.ones(n, dtype=bool)
-        for rf in request.range_filters:
-            col = self.table.column(rf.field).astype(np.float64)
-            lo_ok = col >= rf.lower_value if rf.include_lower else col > rf.lower_value
-            hi_ok = col <= rf.upper_value if rf.include_upper else col < rf.upper_value
-            mask &= lo_ok & hi_ok
-        tmask = self.range_index.term_mask(request.term_filters, n)
-        if tmask is not None:
-            mask &= tmask
+        self.range_index.flush_device()
+        docids = self.range_index.matching_docids(
+            request.range_filters, request.term_filters, self.table.n)
         deleted = 0
-        for docid in np.flatnonzero(mask):
+        for docid in docids:
             key = self.table.key_by_docid(int(docid))
             if key is not None and self.delete(key) == 0:
                 deleted += 1

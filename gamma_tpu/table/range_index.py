@@ -392,6 +392,49 @@ class MultiFieldsRangeIndex:
                 include_upper=rf.include_upper))
         return out
 
+    def matching_docids(self, range_filters: Sequence[RangeFilter],
+                        term_filters: Sequence[TermFilter],
+                        n: int) -> np.ndarray:
+        """Docids in [0, n) matching ALL filters — evaluated against the
+        filter index (device column mirrors + term postings), NOT a host
+        column scan (the reference routes DelDocByQuery through
+        MultiFieldsRangeIndex::Search, field_range_index.cc:1015-1115).
+        Call flush_device() first for read-your-writes freshness; rows
+        beyond the last mirror flush fall back to host evaluation, as do
+        filters on fields that were never mirrored (non-indexed fields).
+        Numeric comparisons on mirrored fields use the same f32 device
+        semantics the search path's fused filters use."""
+        mask = np.ones(n, dtype=bool)
+        if n == 0:
+            return np.empty(0, np.int64)
+        mirrored = min(getattr(self, "_mirrored", 0),
+                       self._device_rows, n)
+        dev_pen = None
+        for rf in range_filters or ():
+            col = self._device_cols.get(rf.field)
+            if col is not None and mirrored > 0:
+                p = pen_ops.range_penalty(
+                    col, rf.lower_value, rf.upper_value,
+                    include_lower=rf.include_lower,
+                    include_upper=rf.include_upper)
+                dev_pen = p if dev_pen is None else dev_pen + p
+                lo, hi = mirrored, n       # host tail only
+            else:
+                lo, hi = 0, n              # never mirrored: host fallback
+            if hi > lo:
+                cv = self.table.column(rf.field)[lo:hi].astype(np.float64)
+                ok = (cv >= rf.lower_value if rf.include_lower
+                      else cv > rf.lower_value)
+                ok &= (cv <= rf.upper_value if rf.include_upper
+                       else cv < rf.upper_value)
+                mask[lo:hi] &= ok
+        if dev_pen is not None:
+            mask[:mirrored] &= np.asarray(dev_pen[:mirrored]) == 0.0
+        tm = self.term_mask(term_filters or (), n)
+        if tm is not None:
+            mask &= tm
+        return np.flatnonzero(mask)
+
     @property
     def device_rows(self) -> int:
         return self._device_rows
