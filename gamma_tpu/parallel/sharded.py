@@ -229,22 +229,26 @@ def _local_ivfpq_search(codes, vids, docids, lens, cents_l, cnorms_l,
     if not rerank:
         return md[:, :k], mdoc[:, :k], mvid[:, :k]
 
-    # 5. distributed exact rerank: psum-reassemble candidate raw rows
+    # 5. distributed exact rerank — owner-computes + DISTANCE psum: each
+    # candidate row lives on exactly one shard (contiguous row split);
+    # that owner computes the exact distance locally and every other
+    # shard contributes 0, so psumming the [B, R] distances reassembles
+    # the exact result with d x less ICI traffic than psumming the
+    # [B, R, d] candidate rows (52 MB → 0.4 MB per step at B=1024,
+    # R=100, d=128).  Rerank runs in the UNROTATED space (raw rows are
+    # unrotated); with OPQ `queries` is rotated → use queries_raw.
     my = jax.lax.axis_index(LIST_AXIS)
     local_idx = mvid - my * v_per_shard
     in_range = (local_idx >= 0) & (local_idx < v_per_shard) & (mvid >= 0)
     rows_l = jnp.take(raw_l, jnp.clip(local_idx, 0, v_per_shard - 1),
                       axis=0).astype(jnp.float32)
-    rows_l = jnp.where(in_range[..., None], rows_l, 0.0)
-    rows = jax.lax.psum(rows_l, LIST_AXIS)            # [B, R, d]
-    # exact rerank runs in the UNROTATED space (raw rows are unrotated);
-    # with OPQ `queries` is rotated, so use queries_raw here
     qf = queries_raw.astype(jnp.float32)[:, None, :]
     if metric == "ip":
-        exact = -jnp.sum(qf * rows, axis=-1)
+        exact_l = -jnp.sum(qf * rows_l, axis=-1)
     else:
-        diff = qf - rows
-        exact = jnp.sum(diff * diff, axis=-1)
+        diff = qf - rows_l
+        exact_l = jnp.sum(diff * diff, axis=-1)
+    exact = jax.lax.psum(jnp.where(in_range, exact_l, 0.0), LIST_AXIS)
     exact = jnp.where((md >= BIG) | (mvid < 0), BIG, exact)
     ed, eidx = topk_min(exact, jnp.broadcast_to(
         jnp.arange(md.shape[1], dtype=jnp.int32)[None, :], exact.shape), k)
@@ -574,19 +578,20 @@ def sharded_dense_search_fn(mesh: Mesh, *, recall_num: int, k: int,
         if not rerank:
             out = md[:, :k]
             return out, jnp.where(out >= BIG, -1, sel[:, :k])
-        # psum-reassemble candidate raw rows from their owner shards
+        # owner-computes exact rerank + DISTANCE psum (each candidate row
+        # lives on one shard; psumming [B, R] masked distances replaces
+        # psumming [B, R, d] rows — d x less ICI traffic)
         local_idx = sel - my * rows_per_shard
         in_range = (local_idx >= 0) & (local_idx < rows_per_shard)
         rows = jnp.take(raw_l, jnp.clip(local_idx, 0, rows_per_shard - 1),
                         axis=0).astype(jnp.float32)
-        rows = jnp.where(in_range[..., None], rows, 0.0)
-        rows = jax.lax.psum(rows, LIST_AXIS)
         qr = queries_raw.astype(jnp.float32)[:, None, :]
         if metric == "ip":
-            exact = -jnp.sum(qr * rows, axis=-1)
+            exact_l = -jnp.sum(qr * rows, axis=-1)
         else:
             diff = qr - rows
-            exact = jnp.sum(diff * diff, axis=-1)
+            exact_l = jnp.sum(diff * diff, axis=-1)
+        exact = jax.lax.psum(jnp.where(in_range, exact_l, 0.0), LIST_AXIS)
         exact = jnp.where(md >= BIG, BIG, exact)
         ed, eidx = topk_min(exact, jnp.broadcast_to(
             jnp.arange(r, dtype=jnp.int32)[None, :], exact.shape), k)
