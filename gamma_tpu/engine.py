@@ -713,22 +713,45 @@ class GammaEngine:
             for b in range(nq):
                 out.append(list(zip(dists[b].tolist(), docids[b].tolist())))
             return out
-        for b in range(nq):
-            acc: Dict[int, float] = {}
-            counts: Dict[int, int] = {}
-            for _, dists, docids in per_field:
-                for dist, docid in zip(dists[b], docids[b]):
-                    if docid < 0 or dist >= BIG:
-                        continue
-                    acc[docid] = acc.get(docid, 0.0) + float(dist)
-                    counts[docid] = counts.get(docid, 0) + 1
-            full = [(s, d) for d, s in acc.items()
-                    if counts[d] == len(per_field)]
-            if request.multi_vector_rank:
-                full.sort()                      # by summed score
-            else:
-                full.sort(key=lambda t: t[1])    # by docid (reference)
-            out.append(full[: request.topn])
+        # ONE global run-reduction over all queries (lexsort by
+        # (row, docid), sum/count runs with reduceat): the per-query
+        # python-dict walk was O(nq * F * k) interpreter ops — at batch
+        # 2048 x several vector fields the HOST became the bottleneck.
+        # The only remaining per-row work is slicing the output lists.
+        # Semantics identical to the dict version (docid must appear
+        # len(per_field) times; summed f64 score; score order with
+        # docid tie-break under multi_vector_rank, else docid order —
+        # reference vector_manager.cc:562-576).
+        F = len(per_field)
+        docs = np.stack([np.asarray(p[2], np.int64) for p in per_field])
+        dist = np.stack([np.asarray(p[1], np.float64) for p in per_field])
+        live = ((docs >= 0) & (dist < BIG)).transpose(1, 0, 2).reshape(-1)
+        dflat = docs.transpose(1, 0, 2).reshape(-1)[live]
+        sflat = dist.transpose(1, 0, 2).reshape(-1)[live]
+        bflat = np.repeat(np.arange(nq, dtype=np.int64),
+                          F * docs.shape[2])[live]
+        order = np.lexsort((dflat, bflat))
+        bs, ds, ss = bflat[order], dflat[order], sflat[order]
+        if bs.size == 0:
+            return [[] for _ in range(nq)]
+        new_run = np.concatenate(
+            [[True], (bs[1:] != bs[:-1]) | (ds[1:] != ds[:-1])])
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.append(starts, bs.size))
+        sums = np.add.reduceat(ss, starts)
+        keep = counts == F
+        g_b, g_d, g_s = bs[starts][keep], ds[starts][keep], sums[keep]
+        if request.multi_vector_rank:
+            # stable by (row, score); equal scores keep docid order
+            o = np.lexsort((g_s, g_b))
+            g_b, g_d, g_s = g_b[o], g_d[o], g_s[o]
+        row_starts = np.searchsorted(g_b, np.arange(nq))
+        row_ends = np.searchsorted(g_b, np.arange(nq) + 1)
+        topn = request.topn
+        for s0, e0 in zip(row_starts, row_ends):
+            e0 = min(e0, s0 + topn)
+            out.append(list(zip(g_s[s0:e0].tolist(),
+                                g_d[s0:e0].tolist())))
         return out
 
     # ============== multi-chip serving (reference: gpu.cc:588 =========
