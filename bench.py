@@ -47,7 +47,10 @@ def make_corpus(n, d, n_clusters, rng, intrinsic=16, geom=None):
     state is stored and restored, so query sampling after a cache hit
     matches a cold run exactly.  Only first draws (geom=None) at
     n >= 1M are cached; delete CACHE_DIR to refresh."""
-    if geom is not None or n < 1_000_000:
+    if geom is not None or n * d < 100_000_000:
+        # small corpora regenerate quickly; only big draws are cached
+        # (the 1M x 128 and 10M x 128 keys predate this element gate and
+        # still hit — the key includes n and d)
         return _make_corpus(n, d, n_clusters, rng, intrinsic, geom)
     # the key is rng-state-FREE: a hit restores the stored post-draw rng
     # state, so everything downstream (query sampling, GT) is
@@ -929,6 +932,83 @@ def main():
             tenm = dict(tenm) if isinstance(tenm, dict) else {}
             tenm["error"] = repr(exc)[:300]
 
+    # ---- d=512 (VGG-geometry) section ----
+    # The reference's other published geometry: 512-d VGG features at
+    # 0.9702 recall@10 on VGG1M (benchs/README.md "Models" + recall
+    # tables).  Proves the PQ subvector tiling (M=64 -> 8 dims/sub) and
+    # the dense scan hold at 4x the SIFT row width.  Skip-gated on
+    # wall-clock like the 10M section; GAMMA_BENCH_VGG=0 disables.
+    vgg = None
+    if (os.environ.get("GAMMA_BENCH_VGG", "1") == "1"
+            and n == 1_000_000 and jax.default_backend() == "tpu"):
+        vgg_cached = os.path.exists(_cache_path("corpus",
+                                                "500000_512_1024_24"))
+        if not vgg_cached and (time.time() - t_start) > 1800:
+            log(f"VGG section skipped: cold corpus cache and the run is "
+                f"already {time.time()-t_start:.0f}s in; run "
+                f"tools/prep_bench_cache.py --vgg to enable")
+            vgg = {"skipped": "host_too_slow_and_cold_cache"}
+        else:
+            import gc as _gc
+            _gc.collect()
+            tv0 = time.time()
+            try:
+                head = hbm_headroom_gb()
+                if head is not None and head < 5.0:
+                    raise RuntimeError(
+                        f"skipped: {head:.1f} GB HBM headroom (need ~5)")
+                nv, dv, mv, nqv = 500_000, 512, 64, 256
+                corpus_v, _ = make_corpus(nv, dv, 1024, rng, intrinsic=24)
+                qv = corpus_v[rng.choice(nv, nqv, replace=False)] + \
+                    0.5 * rng.normal(size=(nqv, dv)).astype(np.float32)
+                qv = qv.astype(np.float32)
+                gt_v = host_gt(corpus_v, qv, k)
+                store_v = RawVectorStore("vgg", dv, init_cap=nv + 1024)
+                store_v.add(corpus_v)
+                store_v.flush_device()
+                idx_v = IVFPQIndex(store_v, {
+                    "ncentroids": nlist, "nsubvector": mv,
+                    "nprobe": nprobe,
+                    "bucket_init_size": max(1024, 4 * nv // nlist)})
+                t0 = time.time()
+                idx_v.train(corpus_v[: nlist * 256])
+                train_v = time.time() - t0
+                ids_v = np.arange(nv, dtype=np.int64)
+                for s in range(0, nv, add_chunk):
+                    e = min(nv, s + add_chunk)
+                    idx_v.add(store_v.device_rows(s, e), ids_v[s:e],
+                              ids_v[s:e])
+                jax.block_until_ready(idx_v.state.lens)
+                pen_v = jnp.zeros(store_v.device.shape[0], jnp.float32)
+                qdv = jnp.asarray(qv)
+                r1v, r10v, _, r100v = measure_recalls(
+                    lambda qb, kk: idx_v.search(qb, pen_v, sp, kk,
+                                                validity_n=nv),
+                    gt_v, qdv, nqv, step=64)
+                qbv = qdv[np.arange(2048) % nqv]
+
+                def run_v(qb):
+                    return idx_v.search(qb, pen_v, sp, k, validity_n=nv)
+
+                jax.block_until_ready(run_v(qbv))
+                qps_v = measure_qps(lambda: run_v(qbv), iters=10, reps=2,
+                                    rows=2048)
+                log(f"VGG 512-d: {qps_v:,.0f} QPS @ recall@10 "
+                    f"{r10v:.4f} (recall@1 {r1v:.4f}, @100 {r100v:.4f}; "
+                    f"train {train_v:.1f}s; section wall "
+                    f"{time.time()-tv0:.0f}s)")
+                vgg = {"n": nv, "d": dv, "m": mv,
+                       "qps": round(qps_v, 1),
+                       "recall_at_10": round(r10v, 4),
+                       "recall_at_1": round(r1v, 4),
+                       "recall_at_100": round(r100v, 4),
+                       "train_s": round(train_v, 1), "batch": 2048}
+                del idx_v, store_v, corpus_v
+            except Exception as exc:
+                log(f"VGG section failed: {exc!r}")
+                vgg = dict(vgg) if isinstance(vgg, dict) else {}
+                vgg["error"] = repr(exc)[:300]
+
     print(json.dumps({
         "metric": "sift1m_geom_ivfpq_qps_at_recall10",
         "value": round(qps, 1),
@@ -959,6 +1039,7 @@ def main():
         "n": n, "d": d, "nlist": nlist, "m": m, "nprobe": nprobe,
         "batch": batch_best, "qps_by_batch": qps_by_batch,
         "tenm": tenm,
+        "vgg": vgg,
         "total_wall_s": round(time.time() - t_start, 1),
     }))
 

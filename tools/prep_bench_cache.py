@@ -35,6 +35,17 @@ def main():
     bench.host_gt(corpus, queries, k)
     bench.log("1M GT cached")
 
+    if "--vgg" in sys.argv:
+        # ---- VGG-geometry section: 500k x 512-d, intrinsic 24 ----
+        nv, nqv = 500_000, 256
+        corpus_v, _ = bench.make_corpus(nv, 512, 1024, rng, intrinsic=24)
+        qv = corpus_v[rng.choice(nv, nqv, replace=False)] + \
+            0.5 * rng.normal(size=(nqv, 512)).astype(np.float32)
+        qv = qv.astype(np.float32)
+        bench.log("VGG corpus ready; computing/loading GT")
+        bench.host_gt(corpus_v, qv, k)
+        bench.log("VGG GT cached")
+
     if "--tenm" in sys.argv:
         # ---- 10M section: state-free corpus key; q10 must be drawn
         # with the post-draw state stored in the cache entry, which
