@@ -775,6 +775,103 @@ def main():
     log(f"concurrent: search {qps_during:,.0f} QPS while ingesting "
         f"{ingest_done['rate']:,.0f} inserts/s")
 
+    # ---- free the 1M index + store + every closure that captured them
+    # (a surviving closure cell keeps the HBM buffers alive).  Nothing
+    # after this point reads the 1M objects; the VGG and 10M sections
+    # each need the headroom, and memory_stats() is unavailable on some
+    # tunneled rigs (axon returns None) so the budget is managed
+    # deterministically, not reactively.
+    del idx, store, run, penalty, out, qb
+    if "run_gather" in dir():
+        del run_gather
+    if "run_fs" in dir():
+        del run_fs
+    import gc as _gc
+    _gc.collect()
+
+    # ---- d=512 (VGG-geometry) section ----
+    # The reference's other published geometry: 512-d VGG features at
+    # 0.9702 recall@10 on VGG1M (benchs/README.md "Models" + recall
+    # tables).  Proves the PQ subvector tiling (M=64 -> 8 dims/sub) and
+    # the dense scan hold at 4x the SIFT row width.  Runs BEFORE the
+    # 10M section so a 10M failure can never poison it.  Skip-gated on
+    # wall-clock like the 10M section; GAMMA_BENCH_VGG=0 disables.
+    vgg = None
+    if (os.environ.get("GAMMA_BENCH_VGG", "1") == "1"
+            and n == 1_000_000 and jax.default_backend() == "tpu"):
+        vgg_cached = os.path.exists(_cache_path("corpus",
+                                                "500000_512_1024_24"))
+        if not vgg_cached and (time.time() - t_start) > 1800:
+            log(f"VGG section skipped: cold corpus cache and the run is "
+                f"already {time.time()-t_start:.0f}s in; run "
+                f"tools/prep_bench_cache.py --vgg to enable")
+            vgg = {"skipped": "host_too_slow_and_cold_cache"}
+        else:
+            tv0 = time.time()
+            try:
+                head = hbm_headroom_gb()
+                if head is not None and head < 5.0:
+                    raise RuntimeError(
+                        f"skipped: {head:.1f} GB HBM headroom (need ~5)")
+                nv, dv, mv, nqv = 500_000, 512, 64, 256
+                corpus_v, _ = make_corpus(nv, dv, 1024, rng, intrinsic=24)
+                qv = corpus_v[rng.choice(nv, nqv, replace=False)] + \
+                    0.5 * rng.normal(size=(nqv, dv)).astype(np.float32)
+                qv = qv.astype(np.float32)
+                gt_v = host_gt(corpus_v, qv, k)
+                store_v = RawVectorStore("vgg", dv, init_cap=nv + 1024)
+                store_v.add(corpus_v)
+                store_v.flush_device()
+                idx_v = IVFPQIndex(store_v, {
+                    "ncentroids": nlist, "nsubvector": mv,
+                    "nprobe": nprobe,
+                    "bucket_init_size": max(1024, 4 * nv // nlist)})
+                t0 = time.time()
+                idx_v.train(corpus_v[: nlist * 256])
+                train_v = time.time() - t0
+                ids_v = np.arange(nv, dtype=np.int64)
+                for s in range(0, nv, add_chunk):
+                    e = min(nv, s + add_chunk)
+                    idx_v.add(store_v.device_rows(s, e), ids_v[s:e],
+                              ids_v[s:e])
+                jax.block_until_ready(idx_v.state.lens)
+                pen_v = jnp.zeros(store_v.device.shape[0], jnp.float32)
+                qdv = jnp.asarray(qv)
+                r1v, r10v, _, r100v = measure_recalls(
+                    lambda qb, kk: idx_v.search(qb, pen_v, sp, kk,
+                                                validity_n=nv),
+                    gt_v, qdv, nqv, step=64)
+                qbv = qdv[np.arange(2048) % nqv]
+
+                def run_v(qb):
+                    return idx_v.search(qb, pen_v, sp, k, validity_n=nv)
+
+                jax.block_until_ready(run_v(qbv))
+                qps_v = measure_qps(lambda: run_v(qbv), iters=10, reps=2,
+                                    rows=2048)
+                log(f"VGG 512-d: {qps_v:,.0f} QPS @ recall@10 "
+                    f"{r10v:.4f} (recall@1 {r1v:.4f}, @100 {r100v:.4f}; "
+                    f"train {train_v:.1f}s; section wall "
+                    f"{time.time()-tv0:.0f}s)")
+                vgg = {"n": nv, "d": dv, "m": mv,
+                       "qps": round(qps_v, 1),
+                       "recall_at_10": round(r10v, 4),
+                       "recall_at_1": round(r1v, 4),
+                       "recall_at_100": round(r100v, 4),
+                       "train_s": round(train_v, 1), "batch": 2048}
+            except Exception as exc:
+                log(f"VGG section failed: {exc!r}")
+                vgg = dict(vgg) if isinstance(vgg, dict) else {}
+                vgg["error"] = repr(exc)[:300]
+            finally:
+                # free the section's HBM whether it passed or not — a
+                # leaked store/index here would OOM the 10M section
+                # (rebinding to None drops the refs; `del` would raise
+                # on names unbound by an early exception)
+                idx_v = store_v = corpus_v = run_v = None
+                pen_v = qbv = qdv = gt_v = None
+                _gc.collect()
+
     # ---- 10M bf16 section (driver-visible scale evidence) ----
     # A fresh 10M-corpus dense-mode build: steady ingest rate, recall,
     # and the batch-2048 QPS — the numbers README previously reported
@@ -794,13 +891,6 @@ def main():
         tenm = {"skipped": "host_too_slow_and_cold_cache"}
     if (os.environ.get("GAMMA_BENCH_TENM", "1") == "1" and tenm_ok
             and n == 1_000_000 and jax.default_backend() == "tpu"):
-        # free the 1M index + store + every closure that captured them
-        # (a surviving closure cell keeps the HBM buffers alive)
-        del idx, store, run, run_gather, penalty, out, qb
-        if "run_fs" in dir():
-            del run_fs
-        import gc as _gc
-        _gc.collect()
         t10 = time.time()
         # a failure at 10M (HBM headroom differs across driver rigs)
         # must not lose the 1M numbers already measured — report and
@@ -924,90 +1014,18 @@ def main():
                 tenm["gather_recall_at_10"] = round(rec_g10, 4)
             else:
                 log("10M gather skipped: SQ8 sidecar inactive")
-            del idx10, store10, corpus10
         except Exception as exc:
             log(f"10M section failed: {exc!r}")
             # merge, don't replace: a gather-phase failure must not
             # discard the dense numbers already measured
             tenm = dict(tenm) if isinstance(tenm, dict) else {}
             tenm["error"] = repr(exc)[:300]
-
-    # ---- d=512 (VGG-geometry) section ----
-    # The reference's other published geometry: 512-d VGG features at
-    # 0.9702 recall@10 on VGG1M (benchs/README.md "Models" + recall
-    # tables).  Proves the PQ subvector tiling (M=64 -> 8 dims/sub) and
-    # the dense scan hold at 4x the SIFT row width.  Skip-gated on
-    # wall-clock like the 10M section; GAMMA_BENCH_VGG=0 disables.
-    vgg = None
-    if (os.environ.get("GAMMA_BENCH_VGG", "1") == "1"
-            and n == 1_000_000 and jax.default_backend() == "tpu"):
-        vgg_cached = os.path.exists(_cache_path("corpus",
-                                                "500000_512_1024_24"))
-        if not vgg_cached and (time.time() - t_start) > 1800:
-            log(f"VGG section skipped: cold corpus cache and the run is "
-                f"already {time.time()-t_start:.0f}s in; run "
-                f"tools/prep_bench_cache.py --vgg to enable")
-            vgg = {"skipped": "host_too_slow_and_cold_cache"}
-        else:
-            import gc as _gc
+        finally:
+            # free on success AND failure — an exception used to leak
+            # the whole 10M working set into whatever ran next
+            idx10 = store10 = corpus10 = run10 = run_g10 = None
+            pen10 = qb10 = qbg10 = qd10 = gt10 = q10 = None
             _gc.collect()
-            tv0 = time.time()
-            try:
-                head = hbm_headroom_gb()
-                if head is not None and head < 5.0:
-                    raise RuntimeError(
-                        f"skipped: {head:.1f} GB HBM headroom (need ~5)")
-                nv, dv, mv, nqv = 500_000, 512, 64, 256
-                corpus_v, _ = make_corpus(nv, dv, 1024, rng, intrinsic=24)
-                qv = corpus_v[rng.choice(nv, nqv, replace=False)] + \
-                    0.5 * rng.normal(size=(nqv, dv)).astype(np.float32)
-                qv = qv.astype(np.float32)
-                gt_v = host_gt(corpus_v, qv, k)
-                store_v = RawVectorStore("vgg", dv, init_cap=nv + 1024)
-                store_v.add(corpus_v)
-                store_v.flush_device()
-                idx_v = IVFPQIndex(store_v, {
-                    "ncentroids": nlist, "nsubvector": mv,
-                    "nprobe": nprobe,
-                    "bucket_init_size": max(1024, 4 * nv // nlist)})
-                t0 = time.time()
-                idx_v.train(corpus_v[: nlist * 256])
-                train_v = time.time() - t0
-                ids_v = np.arange(nv, dtype=np.int64)
-                for s in range(0, nv, add_chunk):
-                    e = min(nv, s + add_chunk)
-                    idx_v.add(store_v.device_rows(s, e), ids_v[s:e],
-                              ids_v[s:e])
-                jax.block_until_ready(idx_v.state.lens)
-                pen_v = jnp.zeros(store_v.device.shape[0], jnp.float32)
-                qdv = jnp.asarray(qv)
-                r1v, r10v, _, r100v = measure_recalls(
-                    lambda qb, kk: idx_v.search(qb, pen_v, sp, kk,
-                                                validity_n=nv),
-                    gt_v, qdv, nqv, step=64)
-                qbv = qdv[np.arange(2048) % nqv]
-
-                def run_v(qb):
-                    return idx_v.search(qb, pen_v, sp, k, validity_n=nv)
-
-                jax.block_until_ready(run_v(qbv))
-                qps_v = measure_qps(lambda: run_v(qbv), iters=10, reps=2,
-                                    rows=2048)
-                log(f"VGG 512-d: {qps_v:,.0f} QPS @ recall@10 "
-                    f"{r10v:.4f} (recall@1 {r1v:.4f}, @100 {r100v:.4f}; "
-                    f"train {train_v:.1f}s; section wall "
-                    f"{time.time()-tv0:.0f}s)")
-                vgg = {"n": nv, "d": dv, "m": mv,
-                       "qps": round(qps_v, 1),
-                       "recall_at_10": round(r10v, 4),
-                       "recall_at_1": round(r1v, 4),
-                       "recall_at_100": round(r100v, 4),
-                       "train_s": round(train_v, 1), "batch": 2048}
-                del idx_v, store_v, corpus_v
-            except Exception as exc:
-                log(f"VGG section failed: {exc!r}")
-                vgg = dict(vgg) if isinstance(vgg, dict) else {}
-                vgg["error"] = repr(exc)[:300]
 
     print(json.dumps({
         "metric": "sift1m_geom_ivfpq_qps_at_recall10",

@@ -80,6 +80,93 @@ def _candidate_mask_validity(docids_g, lens_g, cap, live_n):
     return jnp.where(ok, 0.0, BIG)
 
 
+def list_bias(docids, lens, cap, penalty=None, live_n=None):
+    """Per-(list, slot) additive bias [nlist, cap] f32 folding the
+    in-length, tombstone, and validity (or doc-space penalty) masks.
+
+    This is the posting-layout analog of the dense scan's pre-fused
+    bias operand: computed ONCE over nlist*cap slots per call instead
+    of per (query, probe, slot), it replaces the two [B, P, cap] i32
+    gathers + the per-candidate penalty gather (B*P*cap random indices
+    on the scalar core) of the _candidate_mask_* path — at batch 512 /
+    nprobe 64 that is ~16x fewer penalty lookups, and the mask rides
+    the scan kernels' existing per-list operand streams for free."""
+    pos = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    ok = (pos < lens[:, None]) & (docids >= 0)
+    if live_n is not None:
+        ok = ok & (docids < live_n)
+        return jnp.where(ok, 0.0, BIG)
+    pen = jnp.take(penalty, docids, mode="fill", fill_value=BIG)
+    return jnp.where(ok, pen, BIG)
+
+
+def _select_late(dist, list_ids, docids, vids, cap, recall_num,
+                 exact: bool = False):
+    """Candidate select with LATE id materialization: top-k runs on the
+    distances alone and doc/vid ids are recovered for only the selected
+    positions — replacing the two [B, P, cap] i32 gathers (and their
+    [B, P*cap] flatten + take_along_axis) with [B, R] lookups.  At the
+    10M geometry (cap ~16k) those gathers are ~4 GB of HBM traffic per
+    batch that this removes entirely.
+
+    exact=True runs a TWO-STAGE exact select: per-probe top-r over the
+    cap axis, then a global top-r over [B, P*r] — identical results
+    (every global winner is its own list's winner) at a fraction of the
+    single [B, P*cap]-wide sort."""
+    b, p = list_ids.shape
+    width = p * cap
+
+    def _ids_from(ridx):
+        # ridx indexes the [P*cap] flatten: probe-major, slot-minor
+        pidx = ridx // cap
+        slot = ridx % cap
+        lst = jnp.take_along_axis(list_ids, pidx, axis=1)     # [B, R]
+        lin = lst * cap + slot
+        rdoc = jnp.take(docids.reshape(-1), lin)
+        rvid = jnp.take(vids.reshape(-1), lin)
+        return rdoc, rvid
+
+    if exact:
+        r1 = min(recall_num, cap)
+        nd1, slot1 = jax.lax.top_k(-dist, r1)                 # [B, P, r1]
+        d1 = (-nd1).reshape(b, p * r1)
+        s1 = slot1.reshape(b, p * r1)
+        r2 = min(recall_num, p * r1)
+        nd2, pos2 = jax.lax.top_k(-d1, r2)                    # [B, r2]
+        rd = -nd2
+        pidx = pos2 // r1
+        slot = jnp.take_along_axis(s1, pos2, axis=1)
+        lst = jnp.take_along_axis(list_ids, pidx, axis=1)
+        lin = lst * cap + slot
+        rdoc = jnp.take(docids.reshape(-1), lin)
+        rvid = jnp.take(vids.reshape(-1), lin)
+        if r2 < recall_num:
+            padw = recall_num - r2
+            rd = jnp.pad(rd, ((0, 0), (0, padw)), constant_values=BIG)
+            rdoc = jnp.pad(rdoc, ((0, 0), (0, padw)), constant_values=-1)
+            rvid = jnp.pad(rvid, ((0, 0), (0, padw)), constant_values=-1)
+    elif width > 16384:
+        # ApproxTopK custom call — see _select_candidates for why the
+        # flatten stays probe-major (cap-major aliasing halved recall)
+        flat = dist.reshape(b, -1)
+        rd, ridx = jax.lax.approx_min_k(flat, recall_num,
+                                        recall_target=0.99)
+        rdoc, rvid = _ids_from(ridx)
+    else:
+        flat = dist.reshape(b, -1)
+        k_eff = min(recall_num, width)
+        nd, ridx = jax.lax.top_k(-flat, k_eff)
+        rd = -nd
+        rdoc, rvid = _ids_from(ridx)
+        if k_eff < recall_num:
+            padw = recall_num - k_eff
+            rd = jnp.pad(rd, ((0, 0), (0, padw)), constant_values=BIG)
+            rdoc = jnp.pad(rdoc, ((0, 0), (0, padw)), constant_values=-1)
+            rvid = jnp.pad(rvid, ((0, 0), (0, padw)), constant_values=-1)
+    dead = rd >= BIG
+    return rd, jnp.where(dead, -1, rdoc), jnp.where(dead, -1, rvid)
+
+
 def _select_candidates(dist, docids_g, vids_g, recall_num,
                        exact: bool = False):
     b = dist.shape[0]
@@ -170,9 +257,12 @@ def ivfpq_search(state: IVFState,
     on CPU)."""
     cd, list_ids = coarse_assign(queries, centroids, cent_norms,
                                  nprobe, metric)
-    vids_g = jnp.take(state.vids, list_ids, axis=0)       # [B, P, cap]
-    docids_g = jnp.take(state.docids, list_ids, axis=0)
-    lens_g = jnp.take(state.lens, list_ids, axis=0)
+    bias_l = list_bias(state.docids, state.lens, state.cap,
+                       penalty=penalty, live_n=live_n)    # [nlist, cap]
+    # with a score range the mask must stay OUT of the scanned value
+    # (the range tests the raw distance); otherwise it rides the scan
+    # kernel's per-list operand stream for free
+    fuse_bias = dist_range is None
 
     m = state.codes.shape[-1]
     ksub = codebooks.codebooks.shape[1]
@@ -184,7 +274,8 @@ def ivfpq_search(state: IVFState,
         # Full distance = coarse + adc for both metrics.
         from gamma_tpu.ops.pallas_gadc import grouped_adc
         adc = grouped_adc(state.codes, state.lens, list_ids, queries,
-                          centroids, codebooks, metric=metric)
+                          centroids, codebooks, metric=metric,
+                          bias=bias_l if fuse_bias else None)
         raw_dist = adc + cd[..., None]
     else:
         if metric == "ip":
@@ -208,11 +299,12 @@ def ivfpq_search(state: IVFState,
             codes_g = jnp.take(state.codes, list_ids, axis=0)
             adc = pq_ops.adc_scan(lut, codes_g)           # [B, P, cap]
         raw_dist = adc + base
-    mask = (_candidate_mask_validity(docids_g, lens_g, state.cap, live_n)
-            if live_n is not None else
-            _candidate_mask_penalty(docids_g, lens_g, state.cap, penalty))
-    dist = raw_dist + mask
-    if dist_range is not None:
+        if fuse_bias:
+            raw_dist = raw_dist + jnp.take(bias_l, list_ids, axis=0)
+    if fuse_bias:
+        dist = raw_dist
+    else:
+        dist = raw_dist + jnp.take(bias_l, list_ids, axis=0)
         # fused score-range (reference: IsSimilarScoreValid inside the
         # scanner, gamma_index_ivfpq.h:574-601): the recall heap fills
         # with in-range candidates only
@@ -220,7 +312,8 @@ def ivfpq_search(state: IVFState,
                          | (raw_dist > dist_range[1]), BIG, dist)
     dist = jnp.minimum(dist, BIG)
 
-    rd, rdoc, rvid = _select_candidates(dist, docids_g, vids_g, recall_num)
+    rd, rdoc, rvid = _select_late(dist, list_ids, state.docids,
+                                  state.vids, state.cap, recall_num)
     if not rerank:
         return topk_like(rd, rdoc, rvid, k)
     # rerank compares against UNROTATED raw rows — with OPQ the caller
@@ -266,15 +359,16 @@ def ivfpqfs_search(state: IVFState,           # codes packed [nlist,cap,M/2]
     ivfpq_search."""
     cd, list_ids = coarse_assign(queries, centroids, cent_norms,
                                  nprobe, metric)
-    vids_g = jnp.take(state.vids, list_ids, axis=0)       # [B, P, cap]
-    docids_g = jnp.take(state.docids, list_ids, axis=0)
-    lens_g = jnp.take(state.lens, list_ids, axis=0)
+    bias_l = list_bias(state.docids, state.lens, state.cap,
+                       penalty=penalty, live_n=live_n)    # [nlist, cap]
+    fuse_bias = dist_range is None
 
     if scan_impl == "pallas":
         from gamma_tpu.ops.pallas_gadc import grouped_adc
         adc = grouped_adc(state.codes, state.lens, list_ids, queries,
                           centroids, codebooks, metric=metric,
-                          packed=True, residual=by_residual)
+                          packed=True, residual=by_residual,
+                          bias=bias_l if fuse_bias else None)
         if metric == "ip":
             raw_dist = adc + (cd[..., None] if by_residual else 0.0)
         elif by_residual:
@@ -298,11 +392,12 @@ def ivfpqfs_search(state: IVFState,           # codes packed [nlist,cap,M/2]
         else:
             lut = pq_ops.l2_lut(codebooks, queries)       # [B, M, 16]
             raw_dist = pq_ops.adc_scan(lut[:, None], codes_g)
-    mask = (_candidate_mask_validity(docids_g, lens_g, state.cap, live_n)
-            if live_n is not None else
-            _candidate_mask_penalty(docids_g, lens_g, state.cap, penalty))
-    dist = raw_dist + mask
-    if dist_range is not None:
+        if fuse_bias:
+            raw_dist = raw_dist + jnp.take(bias_l, list_ids, axis=0)
+    if fuse_bias:
+        dist = raw_dist
+    else:
+        dist = raw_dist + jnp.take(bias_l, list_ids, axis=0)
         dist = jnp.where((raw_dist < dist_range[0])
                          | (raw_dist > dist_range[1]), BIG, dist)
     dist = jnp.minimum(dist, BIG)
@@ -310,13 +405,12 @@ def ivfpqfs_search(state: IVFState,           # codes packed [nlist,cap,M/2]
     # exact candidate select: the 4-bit codes already cost ~1pt of
     # recall; stacking ApproxTopK's bin-collision loss on top (and
     # its non-nested candidate sets across recall_num) held
-    # recall@10 under the 0.99 reference bar.  The grouped kernel
-    # dominates FS step time, so the full sort is a small fraction
-    # here — unlike the 8-bit ADC gather path, which keeps the
-    # approx select (its width is the same but its recall was
-    # already clear of the bar before rerank).
-    rd, rdoc, rvid = _select_candidates(dist, docids_g, vids_g,
-                                        recall_num, exact=True)
+    # recall@10 under the 0.99 reference bar.  The two-stage exact
+    # select in _select_late keeps the full-sort exactness at a
+    # fraction of the [B, P*cap]-wide sort.
+    rd, rdoc, rvid = _select_late(dist, list_ids, state.docids,
+                                  state.vids, state.cap, recall_num,
+                                  exact=True)
     if not rerank:
         return topk_like(rd, rdoc, rvid, k)
     qr = queries if queries_raw is None else queries_raw
@@ -379,41 +473,37 @@ def ivfsq_search(state: IVFState,             # posting ids/lens (codes unused)
         cap = cap_eff
     cd, list_ids = coarse_assign(queries, centroids, cent_norms,
                                  nprobe, metric)
-    vids_g = jnp.take(state.vids, list_ids, axis=0)       # [B, P, cap]
-    docids_g = jnp.take(state.docids, list_ids, axis=0)
-    lens_g = jnp.take(state.lens, list_ids, axis=0)
+    bias_l = list_bias(state.docids, state.lens, cap,
+                       penalty=penalty, live_n=live_n)    # [nlist, cap]
+    fuse_bias = dist_range is None
 
     if scan_impl == "pallas":
         from gamma_tpu.ops.pallas_gsq import grouped_sq_scan
         raw_dist = grouped_sq_scan(sq_codes, sq_norms, state.lens,
                                    list_ids, queries, sq_scale, sq_off,
-                                   centroids=centroids, metric=metric)
+                                   centroids=centroids, metric=metric,
+                                   bias=bias_l if fuse_bias else None)
     else:
         raw_dist = sq_raw_dist_xla(sq_codes, sq_norms, sq_scale, sq_off,
                                    centroids, list_ids, queries,
                                    metric=metric)
-    mask = (_candidate_mask_validity(docids_g, lens_g, cap, live_n)
-            if live_n is not None else
-            _candidate_mask_penalty(docids_g, lens_g, cap, penalty))
-    dist = raw_dist + mask
-    if dist_range is not None:
+        if fuse_bias:
+            raw_dist = raw_dist + jnp.take(bias_l, list_ids, axis=0)
+    if fuse_bias:
+        dist = raw_dist
+    else:
+        dist = raw_dist + jnp.take(bias_l, list_ids, axis=0)
         dist = jnp.where((raw_dist < dist_range[0])
                          | (raw_dist > dist_range[1]), BIG, dist)
     dist = jnp.minimum(dist, BIG)
 
-    # EXACT select: distances are near-exact, and at this width the
-    # full top-k costs only ~6 ms more than ApproxTopK while removing
-    # its bin-collision recall loss (clustered true neighbors sharing a
-    # hot list alias into the same contiguous bins; measured -2pts)
-    b = dist.shape[0]
-    flat = dist.reshape(b, -1)
-    ids = jnp.broadcast_to(
-        jnp.arange(flat.shape[1], dtype=jnp.int32)[None, :], flat.shape)
-    rd, ridx = topk_min(flat, ids, k)
-    rdoc = jnp.take_along_axis(docids_g.reshape(b, -1), ridx, axis=1)
-    rvid = jnp.take_along_axis(vids_g.reshape(b, -1), ridx, axis=1)
-    dead = rd >= BIG
-    return rd, jnp.where(dead, -1, rdoc), jnp.where(dead, -1, rvid)
+    # EXACT select: distances are near-exact, so ApproxTopK's
+    # bin-collision recall loss is not paid here (clustered true
+    # neighbors sharing a hot list alias into the same contiguous
+    # bins; measured -2pts).  _select_late's two-stage exact sort
+    # keeps exactness at a fraction of the [B, P*cap]-wide cost.
+    return _select_late(dist, list_ids, state.docids, state.vids,
+                        cap, k, exact=True)
 
 
 # ---------------------------------------------------------------------

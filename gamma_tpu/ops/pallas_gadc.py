@@ -150,10 +150,13 @@ def _gadc_kernel(glist_ref, ntiles_ref,          # scalar prefetch
                  rg_ref,                         # [1, Q, K] bf16
                  cbm_ref,                        # [K, MK] bf16
                  cbn_ref,                        # [1, MK] f32
-                 out_ref,                        # [1, Q, TILE] f32
-                 lut_ref,                        # scratch [Q, MK] bf16
-                 oh_ref,                         # scratch [TILE, MK] bf16
-                 *, alpha: float, ksub: int, packed: bool):
+                 *rest,                          # [bias_ref,] out, scratch
+                 alpha: float, ksub: int, packed: bool,
+                 with_bias: bool = False):
+    if with_bias:
+        bias_ref, out_ref, lut_ref, oh_ref = rest  # bias [1, 1, TILE] f32
+    else:
+        out_ref, lut_ref, oh_ref = rest
     g = pl.program_id(0)
     t = pl.program_id(1)
     nt = ntiles_ref[g]
@@ -199,37 +202,54 @@ def _gadc_kernel(glist_ref, ntiles_ref,          # scalar prefetch
             kmod = (jax.lax.broadcasted_iota(
                 jnp.int32, (tile_n, mk), 1) & (ksub - 1)).astype(jnp.float32)
             oh_ref[:] = (rep == kmod).astype(jnp.bfloat16)
-        out_ref[0] = jax.lax.dot_general(
+        acc = jax.lax.dot_general(
             lut_ref[:], oh_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)              # [Q, TILE]
+        if with_bias:
+            # per-(list, slot) mask/penalty bias rides the tile stream:
+            # dead slots (beyond length, tombstoned, filtered) come out
+            # >= BIG with no caller-side [B, P, cap] mask at all
+            acc = acc + bias_ref[0]
+        out_ref[0] = acc
 
     @pl.when(t >= nt)
     def _skip():
-        # skipped tiles must still be finite: the caller's in-length mask
-        # ADDS BIG, and garbage/NaN would survive the add
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+        if with_bias:
+            # a skipped tile is entirely beyond the list's live length,
+            # so its bias is BIG everywhere — emitting it masks the tile
+            out_ref[0] = jnp.broadcast_to(bias_ref[0], out_ref.shape[1:])
+        else:
+            # skipped tiles must still be finite: the caller's in-length
+            # mask ADDS BIG, and garbage/NaN would survive the add
+            out_ref[0] = jnp.zeros_like(out_ref[0])
 
 
-def _gadc_call(codes, glist, ntiles, rg, cbm, cbn, *, q_pad: int,
-               tile: int, ksub: int, alpha: float, packed: bool,
-               interpret: bool) -> jnp.ndarray:
+def _gadc_call(codes, glist, ntiles, rg, cbm, cbn, bias3=None,
+               *, q_pad: int, tile: int, ksub: int, alpha: float,
+               packed: bool, interpret: bool) -> jnp.ndarray:
     g_pad = glist.shape[0]
     nlist, cap, w = codes.shape
     kdim, mk = cbm.shape
     tile = min(tile, cap)
     n_tiles = _cdiv(cap, tile)
+    in_specs = [
+        pl.BlockSpec((1, tile, w),
+                     lambda g, t, gl, nt: (gl[g], t, 0)),
+        pl.BlockSpec((1, q_pad, kdim),
+                     lambda g, t, gl, nt: (g, 0, 0)),
+        pl.BlockSpec((kdim, mk), lambda g, t, gl, nt: (0, 0)),
+        pl.BlockSpec((1, mk), lambda g, t, gl, nt: (0, 0)),
+    ]
+    operands = [glist, ntiles, codes, rg, cbm, cbn]
+    if bias3 is not None:
+        in_specs.append(pl.BlockSpec((1, 1, tile),
+                                     lambda g, t, gl, nt: (gl[g], 0, t)))
+        operands.append(bias3)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(g_pad, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, tile, w),
-                         lambda g, t, gl, nt: (gl[g], t, 0)),
-            pl.BlockSpec((1, q_pad, kdim),
-                         lambda g, t, gl, nt: (g, 0, 0)),
-            pl.BlockSpec((kdim, mk), lambda g, t, gl, nt: (0, 0)),
-            pl.BlockSpec((1, mk), lambda g, t, gl, nt: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, q_pad, tile),
                                lambda g, t, gl, nt: (g, 0, t)),
         scratch_shapes=[
@@ -238,13 +258,13 @@ def _gadc_call(codes, glist, ntiles, rg, cbm, cbn, *, q_pad: int,
         ],
     )
     kern = functools.partial(_gadc_kernel, alpha=alpha, ksub=ksub,
-                             packed=packed)
+                             packed=packed, with_bias=bias3 is not None)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g_pad, q_pad, cap), jnp.float32),
         interpret=interpret,
-    )(glist, ntiles, codes, rg, cbm, cbn)
+    )(*operands)
 
 
 def grouped_adc(codes: jnp.ndarray,        # [nlist, cap, W] u8
@@ -255,6 +275,7 @@ def grouped_adc(codes: jnp.ndarray,        # [nlist, cap, W] u8
                 pq: pq_ops.PQCodebooks,
                 *, metric: str = "l2", packed: bool = False,
                 residual: bool = True,
+                bias: Optional[jnp.ndarray] = None,   # [nlist, cap] f32
                 q_pad: Optional[int] = None, tile: Optional[int] = None,
                 interpret: bool = False) -> jnp.ndarray:
     """→ adc [B, P, cap] f32 with adc[b,p,c] =
@@ -265,8 +286,13 @@ def grouped_adc(codes: jnp.ndarray,        # [nlist, cap, W] u8
          Σ_m        - q_b · cb[m, code]                    (IP)
     so that the full distance is coarse[b,p] + adc[b,p,c] (residual L2 /
     IP) or ||q||² + adc (raw L2).
-    Tiles beyond a list's live length return 0.0 — callers must mask by
-    length (they already do)."""
+
+    Without `bias`, tiles beyond a list's live length return 0.0 —
+    callers must mask by length (they do).  With `bias` [nlist, cap]
+    f32 (ops/ivf_scan.list_bias: BIG on dead/tombstoned/filtered slots,
+    additive penalties on live ones), the mask rides the tile stream
+    and the output needs NO caller-side [B, P, cap] mask: masked slots
+    come out >= BIG, skipped tiles emit their (all-BIG) bias."""
     b, p = list_ids.shape
     nlist, cap, w = codes.shape
     m, ksub = pq.M, pq.ksub
@@ -306,9 +332,11 @@ def grouped_adc(codes: jnp.ndarray,        # [nlist, cap, W] u8
         rg = jnp.pad(rg, ((0, 0), (0, 0), (0, kdim - rg.shape[-1])))
     rg = rg.astype(jnp.bfloat16)
 
-    og = _gadc_call(codes, glist, ntiles, rg, cbm, cbn, q_pad=q_pad,
-                    tile=tile, ksub=ksub, alpha=alpha, packed=packed,
-                    interpret=interpret)                    # [G, Q, cap]
+    bias3 = (None if bias is None
+             else bias.reshape(nlist, 1, cap).astype(jnp.float32))
+    og = _gadc_call(codes, glist, ntiles, rg, cbm, cbn, bias3,
+                    q_pad=q_pad, tile=tile, ksub=ksub, alpha=alpha,
+                    packed=packed, interpret=interpret)     # [G, Q, cap]
     flat = og.reshape(g_pad * q_pad, cap)
     adc = jnp.take(flat, pair_gid * q_pad + pair_slot, axis=0)
     return adc.reshape(b, p, cap)

@@ -98,7 +98,8 @@ def _gsq_kernel(glist_ref, ntiles_ref,           # scalar prefetch
                 nrm_ref,                         # [1, 1, TILE] f32
                 qs_ref,                          # [1, Q, d] bf16/f32
                 out_ref,                         # [1, Q, TILE] f32
-                *, alpha: float, with_norms: bool, precise: bool):
+                *, alpha: float, with_norms: bool, precise: bool,
+                masked: bool = False):
     g = pl.program_id(0)
     t = pl.program_id(1)
     nt = ntiles_ref[g]
@@ -120,14 +121,20 @@ def _gsq_kernel(glist_ref, ntiles_ref,           # scalar prefetch
 
     @pl.when(t >= nt)
     def _skip():
-        # skipped tiles must stay finite: the caller's in-length mask
-        # ADDS BIG, and garbage/NaN would survive the add
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+        if masked:
+            # the norms operand carries the per-slot mask bias: a
+            # skipped tile is entirely beyond the list's live length,
+            # so its (norms + bias) row is BIG everywhere — emit it
+            out_ref[0] = jnp.broadcast_to(nrm_ref[0], out_ref.shape[1:])
+        else:
+            # skipped tiles must stay finite: the caller's in-length
+            # mask ADDS BIG, and garbage/NaN would survive the add
+            out_ref[0] = jnp.zeros_like(out_ref[0])
 
 
 def _gsq_call(codes, norms3, glist, ntiles, qs, *, q_pad: int, tile: int,
               alpha: float, with_norms: bool, precise: bool,
-              interpret: bool):
+              interpret: bool, masked: bool = False):
     g_pad = glist.shape[0]
     nlist, cap, d = codes.shape
     tile = min(tile, cap)
@@ -147,7 +154,8 @@ def _gsq_call(codes, norms3, glist, ntiles, qs, *, q_pad: int, tile: int,
                                lambda g, t, gl, nt: (g, 0, t)),
     )
     kern = functools.partial(_gsq_kernel, alpha=alpha,
-                             with_norms=with_norms, precise=precise)
+                             with_norms=with_norms, precise=precise,
+                             masked=masked)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g_pad, q_pad, cap), jnp.float32),
@@ -164,13 +172,18 @@ def grouped_sq_scan(codes: jnp.ndarray,     # [nlist, cap, d_pad] u8
                     off: jnp.ndarray,       # [d] f32
                     centroids: Optional[jnp.ndarray] = None,  # [nlist,d]
                     *, metric: str = "l2",
+                    bias: Optional[jnp.ndarray] = None,  # [nlist, cap] f32
                     q_pad: Optional[int] = None,
                     tile: Optional[int] = None,
                     precise: bool = False,
                     interpret: bool = False) -> jnp.ndarray:
     """→ dist [B, P, cap] f32: for L2 the EXACT ||q - dequant(x)||^2;
-    for IP the exact -q.dequant(x).  Tiles beyond a list's live length
-    return +query-const only — callers must mask by length (they do).
+    for IP the exact -q.dequant(x).  Without `bias`, tiles beyond a
+    list's live length return +query-const only — callers must mask by
+    length (they do).  With `bias` [nlist, cap] f32
+    (ops/ivf_scan.list_bias), the mask folds into the norms operand —
+    dead/tombstoned/filtered slots come out >= BIG (+query-consts) and
+    the caller needs no [B, P, cap] mask at all.
 
     `centroids` switches to RESIDUAL decoding: codes quantize
     x - c_list and the q.c_list cross term is added back in the
@@ -205,10 +218,18 @@ def grouped_sq_scan(codes: jnp.ndarray,     # [nlist, cap, d_pad] u8
 
     alpha = 2.0 if metric != "ip" else 1.0
     with_norms = metric != "ip"
-    norms3 = norms.reshape(nlist, 1, cap)
+    if bias is not None:
+        # fold the per-slot mask into the norms stream (IP has no norms
+        # term, so the bias alone becomes the operand)
+        nrm_arr = (norms + bias) if with_norms else bias
+        with_norms = True
+    else:
+        nrm_arr = norms
+    norms3 = nrm_arr.reshape(nlist, 1, cap)
     og = _gsq_call(codes, norms3, glist, ntiles, qs, q_pad=q_pad,
                    tile=tile, alpha=alpha, with_norms=with_norms,
-                   precise=precise, interpret=interpret)  # [G, Q, cap]
+                   precise=precise, interpret=interpret,
+                   masked=bias is not None)               # [G, Q, cap]
     flat = og.reshape(g_pad * q_pad, cap)
     out = jnp.take(flat, pair_gid * q_pad + pair_slot, axis=0
                    ).reshape(b, p, cap)

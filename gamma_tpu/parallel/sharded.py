@@ -61,9 +61,7 @@ except (ImportError, AttributeError):  # pragma: no cover - version fallback
 from gamma_tpu.ops import pq as pq_ops
 from gamma_tpu.ops.distances import BIG, pairwise_ip, pairwise_l2
 from gamma_tpu.ops.topk import topk_min
-from gamma_tpu.ops.ivf_scan import (_candidate_mask_penalty,
-                                    _candidate_mask_validity,
-                                    _select_candidates)
+from gamma_tpu.ops.ivf_scan import _select_late, list_bias
 from gamma_tpu.realtime.invert_index import IVFState
 
 LIST_AXIS = "l"    # inverted lists + raw-vector rows sharded over this
@@ -178,10 +176,14 @@ def _local_ivfpq_search(codes, vids, docids, lens, cents_l, cnorms_l,
     sel_ids = lids[:, :p_loc]
     sel_ok = sel_d <= thr[:, None]
 
-    # 3. ADC scan of the selected local lists
-    vids_g = jnp.take(vids, sel_ids, axis=0)
-    docids_g = jnp.take(docids, sel_ids, axis=0)
-    lens_g = jnp.take(lens, sel_ids, axis=0)
+    # 3. ADC scan of the selected local lists.  The per-(list, slot)
+    # mask bias (in-length, tombstone, validity-or-penalty —
+    # ops/ivf_scan.list_bias) is computed once over the LOCAL lists and
+    # rides the grouped kernel's tile stream; ids materialize late
+    # (after select) so no [B, P, cap] i32 gathers exist on this path.
+    bias_l = list_bias(docids, lens, cap,
+                       penalty=penalty, live_n=live_n if use_validity
+                       else None)
     if scan_impl == "pallas":
         # grouped MXU kernel (ops/pallas_gadc.py): pallas_call runs
         # per-shard inside shard_map over the LOCAL codes/centroids; the
@@ -190,7 +192,7 @@ def _local_ivfpq_search(codes, vids, docids, lens, cents_l, cnorms_l,
         # 3.5-5.7 s/batch on TPU (docs/perf notes, round 2).
         from gamma_tpu.ops.pallas_gadc import grouped_adc
         adc = grouped_adc(codes, lens, sel_ids, queries, cents_l,
-                          codebooks, metric=metric)
+                          codebooks, metric=metric, bias=bias_l)
         dist = adc + sel_d[..., None]
     else:
         codes_g = jnp.take(codes, sel_ids, axis=0)   # [B, P, cap, W]
@@ -204,17 +206,12 @@ def _local_ivfpq_search(codes, vids, docids, lens, cents_l, cnorms_l,
             residual = queries.astype(jnp.float32)[:, None, :] - probed
             lut = pq_ops.l2_lut(codebooks, residual)
             base = 0.0
-        dist = pq_ops.adc_scan(lut, codes_g) + base
-    # unfiltered fast path: the doc-space penalty gather of B x P x cap
-    # random indices lowers to the scalar core (~5x the scan kernel);
-    # validity is decidable from the gathered state alone
-    mask = (_candidate_mask_validity(docids_g, lens_g, cap, live_n)
-            if use_validity else
-            _candidate_mask_penalty(docids_g, lens_g, cap, penalty))
-    dist = dist + mask
+        dist = (pq_ops.adc_scan(lut, codes_g) + base
+                + jnp.take(bias_l, sel_ids, axis=0))
     dist = dist + jnp.where(sel_ok, 0.0, BIG)[..., None]
     dist = jnp.minimum(dist, BIG)
-    rd, rdoc, rvid = _select_candidates(dist, docids_g, vids_g, recall_num)
+    rd, rdoc, rvid = _select_late(dist, sel_ids, docids, vids, cap,
+                                  recall_num)
 
     # 4. ICI top-k merge (replaces OMP critical heap merge)
     rd = jax.lax.all_gather(rd, LIST_AXIS, axis=1, tiled=True)
@@ -403,37 +400,31 @@ def _local_ivfsq_search(vids, docids, lens, sq_codes, sq_norms,
     sel_ok = sel_d <= thr[:, None]
 
     # 3. exact SQ8 scan of the selected local lists (full distance —
-    # the centroid term is folded in by the kernel/twin)
-    vids_g = jnp.take(vids, sel_ids, axis=0)
-    docids_g = jnp.take(docids, sel_ids, axis=0)
-    lens_g = jnp.take(lens, sel_ids, axis=0)
+    # the centroid term is folded in by the kernel/twin); the per-slot
+    # mask bias folds into the kernel's norms stream and ids
+    # materialize late — no [B, P, cap] i32 gathers on this path
+    bias_l = list_bias(docids, lens, cap,
+                       penalty=penalty, live_n=live_n if use_validity
+                       else None)
     if scan_impl == "pallas":
         from gamma_tpu.ops.pallas_gsq import grouped_sq_scan
-        raw_dist = grouped_sq_scan(sq_codes, sq_norms, lens, sel_ids,
-                                   queries, sq_scale, sq_off,
-                                   centroids=cents_l, metric=metric)
+        dist = grouped_sq_scan(sq_codes, sq_norms, lens, sel_ids,
+                               queries, sq_scale, sq_off,
+                               centroids=cents_l, metric=metric,
+                               bias=bias_l)
     else:
         from gamma_tpu.ops.ivf_scan import sq_raw_dist_xla
-        raw_dist = sq_raw_dist_xla(sq_codes, sq_norms, sq_scale, sq_off,
-                                   cents_l, sel_ids, queries,
-                                   metric=metric)
-    mask = (_candidate_mask_validity(docids_g, lens_g, cap, live_n)
-            if use_validity else
-            _candidate_mask_penalty(docids_g, lens_g, cap, penalty))
-    dist = raw_dist + mask
+        dist = (sq_raw_dist_xla(sq_codes, sq_norms, sq_scale, sq_off,
+                                cents_l, sel_ids, queries, metric=metric)
+                + jnp.take(bias_l, sel_ids, axis=0))
     dist = dist + jnp.where(sel_ok, 0.0, BIG)[..., None]
     dist = jnp.minimum(dist, BIG)
 
-    # 4. local top-k, then ONE ICI merge — distances are already exact,
-    # so k (not recall_num) rides the interconnect and nothing is
-    # re-read afterwards
-    b = dist.shape[0]
-    flat = dist.reshape(b, -1)
-    ids = jnp.broadcast_to(
-        jnp.arange(flat.shape[1], dtype=jnp.int32)[None, :], flat.shape)
-    rd, ridx = topk_min(flat, ids, k)
-    rdoc = jnp.take_along_axis(docids_g.reshape(b, -1), ridx, axis=1)
-    rvid = jnp.take_along_axis(vids_g.reshape(b, -1), ridx, axis=1)
+    # 4. local top-k (two-stage exact), then ONE ICI merge — distances
+    # are already exact, so k (not recall_num) rides the interconnect
+    # and nothing is re-read afterwards
+    rd, rdoc, rvid = _select_late(dist, sel_ids, docids, vids, cap, k,
+                                  exact=True)
     rd_g = jax.lax.all_gather(rd, LIST_AXIS, axis=1, tiled=True)
     rdoc_g = jax.lax.all_gather(rdoc, LIST_AXIS, axis=1, tiled=True)
     rvid_g = jax.lax.all_gather(rvid, LIST_AXIS, axis=1, tiled=True)
