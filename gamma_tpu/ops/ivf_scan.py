@@ -30,6 +30,10 @@ import jax.numpy as jnp
 
 from gamma_tpu.ops import pq as pq_ops
 from gamma_tpu.ops.distances import pairwise_l2, pairwise_ip, l2_norms, BIG
+
+# Widest [B, P*cap] candidate axis the exact select full-sorts; wider
+# goes through an approx candidate pool + exact resort (_select_late).
+EXACT_SORT_MAX_WIDTH = 1 << 17
 from gamma_tpu.ops.topk import topk_min
 from gamma_tpu.realtime.invert_index import IVFState
 
@@ -109,10 +113,21 @@ def _select_late(dist, list_ids, docids, vids, cap, recall_num,
     10M geometry (cap ~16k) those gathers are ~4 GB of HBM traffic per
     batch that this removes entirely.
 
-    exact=True runs a TWO-STAGE exact select: per-probe top-r over the
-    cap axis, then a global top-r over [B, P*r] — identical results
-    (every global winner is its own list's winner) at a fraction of the
-    single [B, P*cap]-wide sort."""
+    exact=True picks the selection by width (measured on v5e at the 1M
+    bench geometry, B=1024 P=64 cap=1024, experiments/exp_bias_ab.py):
+
+      width <= 2^17   ONE full top-k over [B, P*cap] — exact.  8.2 ms;
+                      the per-probe two-stage variant (top-r over the
+                      cap axis of [B, P, cap], then a global merge) was
+                      28.2 ms — lax.top_k pays per ROW, so 65536 rows
+                      of 1024 cost ~3x one 1024-row sort of 65536 —
+                      and its [B, P, r] sort transients are what OOM'd
+                      the 10M gather phase.
+      wider           approx_min_k candidate POOL (>= 16x recall_num)
+                      + exact resort of the pool: near-exact (the pool
+                      only misses a true top-r on an ApproxTopK bin
+                      collision among the pool's extremes, ~1e-4 at
+                      pool=16r), O(width) with tiny transients."""
     b, p = list_ids.shape
     width = p * cap
 
@@ -126,26 +141,20 @@ def _select_late(dist, list_ids, docids, vids, cap, recall_num,
         rvid = jnp.take(vids.reshape(-1), lin)
         return rdoc, rvid
 
-    if exact:
-        r1 = min(recall_num, cap)
-        nd1, slot1 = jax.lax.top_k(-dist, r1)                 # [B, P, r1]
-        d1 = (-nd1).reshape(b, p * r1)
-        s1 = slot1.reshape(b, p * r1)
-        r2 = min(recall_num, p * r1)
-        nd2, pos2 = jax.lax.top_k(-d1, r2)                    # [B, r2]
-        rd = -nd2
-        pidx = pos2 // r1
-        slot = jnp.take_along_axis(s1, pos2, axis=1)
-        lst = jnp.take_along_axis(list_ids, pidx, axis=1)
-        lin = lst * cap + slot
-        rdoc = jnp.take(docids.reshape(-1), lin)
-        rvid = jnp.take(vids.reshape(-1), lin)
-        if r2 < recall_num:
-            padw = recall_num - r2
+    if exact and width > EXACT_SORT_MAX_WIDTH:
+        flat = dist.reshape(b, -1)
+        pool = min(width, max(16 * recall_num, 256))
+        vd, vi = jax.lax.approx_min_k(flat, pool, recall_target=0.99)
+        k_eff = min(recall_num, pool)
+        nd, pos = jax.lax.top_k(-vd, k_eff)
+        rd = -nd
+        rdoc, rvid = _ids_from(jnp.take_along_axis(vi, pos, axis=1))
+        if k_eff < recall_num:
+            padw = recall_num - k_eff
             rd = jnp.pad(rd, ((0, 0), (0, padw)), constant_values=BIG)
             rdoc = jnp.pad(rdoc, ((0, 0), (0, padw)), constant_values=-1)
             rvid = jnp.pad(rvid, ((0, 0), (0, padw)), constant_values=-1)
-    elif width > 16384:
+    elif not exact and width > 16384:
         # ApproxTopK custom call — see _select_candidates for why the
         # flatten stays probe-major (cap-major aliasing halved recall)
         flat = dist.reshape(b, -1)
@@ -405,9 +414,7 @@ def ivfpqfs_search(state: IVFState,           # codes packed [nlist,cap,M/2]
     # exact candidate select: the 4-bit codes already cost ~1pt of
     # recall; stacking ApproxTopK's bin-collision loss on top (and
     # its non-nested candidate sets across recall_num) held
-    # recall@10 under the 0.99 reference bar.  The two-stage exact
-    # select in _select_late keeps the full-sort exactness at a
-    # fraction of the [B, P*cap]-wide sort.
+    # recall@10 under the 0.99 reference bar.
     rd, rdoc, rvid = _select_late(dist, list_ids, state.docids,
                                   state.vids, state.cap, recall_num,
                                   exact=True)
@@ -500,8 +507,7 @@ def ivfsq_search(state: IVFState,             # posting ids/lens (codes unused)
     # EXACT select: distances are near-exact, so ApproxTopK's
     # bin-collision recall loss is not paid here (clustered true
     # neighbors sharing a hot list alias into the same contiguous
-    # bins; measured -2pts).  _select_late's two-stage exact sort
-    # keeps exactness at a fraction of the [B, P*cap]-wide cost.
+    # bins; measured -2pts when selecting top-k directly).
     return _select_late(dist, list_ids, state.docids, state.vids,
                         cap, k, exact=True)
 

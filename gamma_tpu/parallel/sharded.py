@@ -420,7 +420,7 @@ def _local_ivfsq_search(vids, docids, lens, sq_codes, sq_norms,
     dist = dist + jnp.where(sel_ok, 0.0, BIG)[..., None]
     dist = jnp.minimum(dist, BIG)
 
-    # 4. local top-k (two-stage exact), then ONE ICI merge — distances
+    # 4. local top-k (exact), then ONE ICI merge — distances
     # are already exact, so k (not recall_num) rides the interconnect
     # and nothing is re-read afterwards
     rd, rdoc, rvid = _select_late(dist, sel_ids, docids, vids, cap, k,
