@@ -324,7 +324,10 @@ def main():
                              "bucket_init_size":
                                  max(1024, bucket_x * n // nlist)})
     t0 = time.time()
-    idx.train(corpus[: nlist * 256])
+    # train from the store's DEVICE mirror: the corpus is already on
+    # chip, so training ships zero extra bytes over the host link (the
+    # f32 train-set upload alone cost ~30 s of r3's 42.5 s train_s)
+    idx.train(store.device_rows(0, min(n, nlist * 256)))
     train_s = time.time() - t0
     log(f"train: {train_s:.1f}s")
 
@@ -617,7 +620,7 @@ def main():
         # share the IVFPQ coarse quantizer (same corpus, same rotated
         # space — neither model uses OPQ here): FastScan trains only its
         # 4-bit PQ codebooks, cutting its train from ~27 s to a few
-        fs.train(corpus[: nlist * 64],
+        fs.train(store.device_rows(0, min(n, nlist * 64)),
                  coarse=(idx.centroids, idx.cent_norms))
         log(f"fastscan train (shared coarse): {time.time()-t0:.1f}s")
         t0 = time.time()
@@ -827,7 +830,7 @@ def main():
                     "nprobe": nprobe,
                     "bucket_init_size": max(1024, 4 * nv // nlist)})
                 t0 = time.time()
-                idx_v.train(corpus_v[: nlist * 256])
+                idx_v.train(store_v.device_rows(0, min(nv, nlist * 128)))
                 train_v = time.time() - t0
                 ids_v = np.arange(nv, dtype=np.int64)
                 for s in range(0, nv, add_chunk):
@@ -930,7 +933,7 @@ def main():
                 "bucket_init_size": max(1024, 3 * n10 // nlist)})
             assert not idx10.sq_active
             t0 = time.time()
-            idx10.train(corpus10[: nlist * 256])
+            idx10.train(store10.device_rows(0, nlist * 256))
             log(f"10M train: {time.time()-t0:.1f}s")
             ids10 = np.arange(n10, dtype=np.int64)
             rates10 = []

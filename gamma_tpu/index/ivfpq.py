@@ -53,6 +53,11 @@ from gamma_tpu.vector.raw_store import RawVectorStore
 
 TRAIN_MIN_PER_LIST = 39     # faiss/gamma clamp (ivfpq.cc:281-296)
 TRAIN_MAX_PER_LIST = 256
+# PQ/SQ codebook training subsample: ksub=256 codewords per subspace
+# need ~512 points each; past 128k rows the extra data only slows the
+# 12-iteration batched kmeans (the coarse quantizer still sees the
+# full clamped train set)
+PQ_TRAIN_MAX_ROWS = 131072
 RECON_ROW_PAD = 8192        # reconstruction-mirror growth quantum
 # auto mode: dense while the bf16 reconstruction mirror stays under this
 DENSE_BYTES_BUDGET = 8 << 30
@@ -346,14 +351,31 @@ class IVFPQIndex(RetrievalModel):
     def trained(self) -> bool:
         return self._trained
 
-    def clamp_train_set(self, x: np.ndarray) -> np.ndarray:
+    def clamp_train_set(self, x) -> np.ndarray:
+        """Clamp to nlist*TRAIN_MAX_PER_LIST rows.  Accepts host arrays
+        (random subsample) or device arrays (strided slice — clamping
+        must not drag the set back through the host)."""
         nlist = self.p.ncentroids
         n = x.shape[0]
         hi = nlist * TRAIN_MAX_PER_LIST
-        if n > hi:
-            rng = np.random.default_rng(0)
-            x = x[rng.choice(n, hi, replace=False)]
-        return x
+        if n <= hi:
+            return x
+        if isinstance(x, jax.Array) and not isinstance(x, np.ndarray):
+            sel = jnp.asarray(
+                np.linspace(0, n - 1, hi).astype(np.int32))
+            return jnp.take(x, sel, axis=0)
+        rng = np.random.default_rng(0)
+        return x[rng.choice(n, hi, replace=False)]
+
+    @staticmethod
+    def _pq_train_rows(residuals: jnp.ndarray) -> jnp.ndarray:
+        """Device-side strided subsample for the PQ/SQ codebook fit."""
+        n = residuals.shape[0]
+        if n <= PQ_TRAIN_MAX_ROWS:
+            return residuals
+        sel = jnp.asarray(
+            np.linspace(0, n - 1, PQ_TRAIN_MAX_ROWS).astype(np.int32))
+        return jnp.take(residuals, sel, axis=0)
 
     def train(self, x: np.ndarray, coarse=None) -> None:
         """`coarse=(centroids[, cent_norms])` seeds the coarse quantizer
@@ -362,9 +384,18 @@ class IVFPQIndex(RetrievalModel):
         reference's GPU path likewise clones the CPU twin's trained
         quantizer rather than retraining, gamma_index_ivfpq_gpu.cc).
         The provided centroids must live in THIS model's rotated space —
-        only share between models with identical OPQ settings."""
-        x = self.clamp_train_set(np.asarray(x, np.float32))
-        xd = jnp.asarray(x)
+        only share between models with identical OPQ settings.
+
+        `x` may be a DEVICE array (any float dtype): the train set then
+        never round-trips the host, and a caller holding a bf16 mirror
+        (vector/raw_store.py device tier) ships HALF the bytes of an f32
+        host set — on tunneled rigs the upload dominates training."""
+        if isinstance(x, jax.Array) and not isinstance(x, np.ndarray):
+            x0 = self.clamp_train_set(x)          # device, unrotated
+            xd = x0.astype(jnp.float32)
+        else:
+            x0 = self.clamp_train_set(np.asarray(x, np.float32))
+            xd = jnp.asarray(x0)
         if self.p.has_opq:
             self.opq_rot = self._train_opq_init(xd)
             xd = xd @ self.opq_rot
@@ -380,7 +411,8 @@ class IVFPQIndex(RetrievalModel):
             self.cent_norms = l2_norms(cents)
         assign = _assign_chunked(xd, cents, self.cent_norms)
         residuals = xd - jnp.take(cents, assign, axis=0)
-        self.pq = pq_ops.train_pq(residuals, self.p.nsubvector,
+        res_sub = self._pq_train_rows(residuals)
+        self.pq = pq_ops.train_pq(res_sub, self.p.nsubvector,
                                   nbits=self.p.nbits_per_idx, iters=12)
         if self.p.has_opq:
             self._refine_opq(xd, residuals)
@@ -388,13 +420,14 @@ class IVFPQIndex(RetrievalModel):
             if self.p.has_opq:
                 # OPQ refinement changed the rotation — re-derive
                 # FINAL-rotation residuals for the SQ8 range fit
-                xr = self._rotate(jnp.asarray(x))
+                xr = self._rotate(jnp.asarray(x0).astype(jnp.float32))
                 a = _assign_chunked(xr, self.centroids, self.cent_norms)
-                self._sq_init(xr - jnp.take(self.centroids, a, axis=0))
+                self._sq_init(self._pq_train_rows(
+                    xr - jnp.take(self.centroids, a, axis=0)))
             else:
                 # no rotation: the PQ-training residuals ARE the
                 # final-space residuals (saves a full assignment pass)
-                self._sq_init(residuals)
+                self._sq_init(res_sub)
         self._trained = True
 
     # ---- residual-SQ8 gather payload (ops/pallas_gsq.py) ----

@@ -111,8 +111,11 @@ class IVFPQFastScanIndex(IVFPQIndex):
             # seeds a shared coarse quantizer (see IVFPQIndex.train)
             super().train(x, coarse=coarse)
             return
-        x = self.clamp_train_set(np.asarray(x, np.float32))
-        xd = jnp.asarray(x)
+        if isinstance(x, jax.Array) and not isinstance(x, np.ndarray):
+            xd = self.clamp_train_set(x).astype(jnp.float32)
+        else:
+            xd = jnp.asarray(
+                self.clamp_train_set(np.asarray(x, np.float32)))
         if self.p.has_opq:
             self.opq_rot = self._train_opq_init(xd)
             xd = xd @ self.opq_rot
@@ -122,8 +125,9 @@ class IVFPQFastScanIndex(IVFPQIndex):
             self.cent_norms = (jnp.asarray(coarse[1])
                                if len(coarse) > 1 and coarse[1] is not None
                                else l2_norms(cents))
-            self.pq = pq_ops.train_pq(xd, self.p.nsubvector,
-                                      nbits=4, iters=12)
+            self.pq = pq_ops.train_pq(self._pq_train_rows(xd),
+                                      self.p.nsubvector, nbits=4,
+                                      iters=12)
             if self.p.has_opq:
                 self._refine_opq_fs(xd)
             self._trained = True
@@ -131,8 +135,8 @@ class IVFPQFastScanIndex(IVFPQIndex):
         cents, _ = km.kmeans(xd, self.p.ncentroids, iters=10, seed=0)
         self.centroids = cents
         self.cent_norms = l2_norms(cents)
-        self.pq = pq_ops.train_pq(xd, self.p.nsubvector,
-                                  nbits=4, iters=12)
+        self.pq = pq_ops.train_pq(self._pq_train_rows(xd),
+                                  self.p.nsubvector, nbits=4, iters=12)
         if self.p.has_opq:
             self._refine_opq_fs(xd)
         self._trained = True
