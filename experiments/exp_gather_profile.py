@@ -72,26 +72,37 @@ def main():
     print(f"+ gathers & mask:     {bench(gathers, queries):7.2f} ms",
           flush=True)
 
+    # big arrays ride as jit ARGUMENTS: closure capture would bake the
+    # 128 MB code tensor into the HLO and blow up remote_compile
     @jax.jit
-    def adc_only(q):
+    def adc_only(st, q):
         cd, lids = iv.coarse_assign(q, cents, cnorms, p, "l2")
-        return grouped_adc(state.codes, state.lens, lids, q, cents, pq)
-    print(f"+ grouped ADC:        {bench(adc_only, queries):7.2f} ms",
-          flush=True)
+        return grouped_adc(st.codes, st.lens, lids, q, cents, pq)
+    print(f"+ grouped ADC:        {bench(adc_only, state, queries):7.2f}"
+          f" ms", flush=True)
+
+    @jax.jit
+    def adc_bias(st, q):
+        cd, lids = iv.coarse_assign(q, cents, cnorms, p, "l2")
+        bias = iv.list_bias(st.docids, st.lens, cap, live_n=live_n)
+        return grouped_adc(st.codes, st.lens, lids, q, cents, pq,
+                           bias=bias)
+    print(f"+ grouped ADC+bias:   {bench(adc_bias, state, queries):7.2f}"
+          f" ms", flush=True)
 
     for impl, note in (("pallas", "approx select"),):
-        fn = jax.jit(lambda q: iv.ivfpq_search(
-            state, cents, cnorms, pq, q, penalty, raw,
+        fn = jax.jit(lambda st, rw, q: iv.ivfpq_search(
+            st, cents, cnorms, pq, q, penalty, rw,
             live_n=live_n, nprobe=p, recall_num=rn, k=k, metric="l2",
             rerank=False, scan_impl=impl))
-        print(f"full no-rerank ({note}): {bench(fn, queries):7.2f} ms",
-              flush=True)
-        fn2 = jax.jit(lambda q: iv.ivfpq_search(
-            state, cents, cnorms, pq, q, penalty, raw,
+        print(f"full no-rerank ({note}): "
+              f"{bench(fn, state, raw, queries):7.2f} ms", flush=True)
+        fn2 = jax.jit(lambda st, rw, q: iv.ivfpq_search(
+            st, cents, cnorms, pq, q, penalty, rw,
             live_n=live_n, nprobe=p, recall_num=rn, k=k, metric="l2",
             rerank=True, scan_impl=impl))
-        print(f"full + rerank   ({note}): {bench(fn2, queries):7.2f} ms",
-              flush=True)
+        print(f"full + rerank   ({note}): "
+              f"{bench(fn2, state, raw, queries):7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
