@@ -564,7 +564,8 @@ def main():
         mesh1 = build_mesh(1, 1)
         sh1 = shard_ivfpq(mesh1, idx.state, np.asarray(idx.centroids),
                           np.asarray(idx.cent_norms), idx.pq,
-                          np.asarray(store.device, np.float32))
+                          np.asarray(store.device, np.float32),
+                          cap_eff=idx._cap_eff())
         s_fn = sharded_ivfpq_search_fn(
             mesh1, nprobe=nprobe, recall_num=recall_num, k=k,
             metric="l2", rerank=True, v_per_shard=sh1.v_per_shard,
@@ -955,21 +956,28 @@ def main():
                 gt10, qd10, nq10, step=64)
             log(f"10M recall@1 = {r1_10m:.4f}  recall@10 = {r10_10m:.4f} "
                 f" recall@100 = {r100_10m:.4f}")
-            qb10 = qd10[np.arange(2048) % nq10]
-
             def run10(qb):
                 return idx10.search(qb, pen10, sp, k, validity_n=n10)
 
-            jax.block_until_ready(run10(qb10))
-            qps10 = measure_qps(lambda: run10(qb10), iters=10, reps=2,
-                                rows=2048)
+            # the dense scan is one fused matmul+TopK over the bf16
+            # recon: QPS still rises past batch 2048 (the 1M sweep gains
+            # ~5%/doubling at the top), so take the best of 2048/4096
+            qps10, b10 = 0.0, 2048
+            for bsz in (2048, 4096):
+                qb10 = qd10[np.arange(bsz) % nq10]
+                jax.block_until_ready(run10(qb10))
+                q_ = measure_qps(lambda: run10(qb10), iters=10, reps=2,
+                                 rows=bsz)
+                log(f"10M dense @batch {bsz}: {q_:,.0f} QPS")
+                if q_ > qps10:
+                    qps10, b10 = q_, bsz
             log(f"10M dense: {qps10:,.0f} QPS @ recall@10 {r10_10m:.4f} "
-                f"(batch 2048); section wall {time.time()-t10:.0f}s")
+                f"(batch {b10}); section wall {time.time()-t10:.0f}s")
             tenm = {"n": n10, "qps": round(qps10, 1),
                     "recall_at_10": round(r10_10m, 4),
                     "recall_at_1": round(r1_10m, 4),
                     "recall_at_100": round(r100_10m, 4),
-                    "inserts_per_s": round(ins10, 0), "batch": 2048}
+                    "inserts_per_s": round(ins10, 0), "batch": b10}
             # 10M capacity tier: drop the dense mirror FIRST (frees
             # ~2.7 GB — a beyond-HBM deployment never holds it), then
             # promote the SQ8 sidecar post-hoc from the posting state +
@@ -978,11 +986,16 @@ def main():
             # [B, P*cap_eff] f32.
             idx10.release_recon()
             head = hbm_headroom_gb()
-            if head is not None and head < 5.0:
+            # the sidecar is ladder-trimmed (ladder(max_len), not the 3x
+            # posting cap): compute its actual size for the gate
+            sq_need = (nlist * idx10._cap_eff() * (idx10._sq_d_pad + 4)
+                       / 2 ** 30 + 1.0)
+            if head is not None and head < sq_need:
                 # skip, don't raise: the dense numbers in `tenm` must
                 # survive a gather-phase shortfall
                 log(f"10M gather phase skipped: {head:.1f} GB headroom "
-                    f"after release_recon (the SQ8 sidecar needs ~4.5)")
+                    f"after release_recon (the SQ8 sidecar needs "
+                    f"~{sq_need:.1f})")
                 tenm["gather_skipped"] = f"hbm_headroom_{head:.1f}gb"
             else:
                 t0 = time.time()
@@ -990,6 +1003,15 @@ def main():
                 log(f"10M SQ8 sidecar promotion: {time.time()-t0:.1f}s "
                     f"(active={sq_ok})")
             if idx10.sq_active:
+                # the SQ8 tier reads NOTHING from the dense bf16 mirror
+                # (exact distances come from the sidecar; no rerank row
+                # gather) — dropping it frees 2.6 GB for scan transients
+                # (the r4 gather-phase RESOURCE_EXHAUSTED headroom)
+                store10.release_device()
+                head = hbm_headroom_gb()
+                ce10 = idx10._cap_eff()
+                log(f"10M gather setup: cap_eff={ce10}, "
+                    f"headroom={'?' if head is None else f'{head:.1f}'} GB")
                 sp_g10 = SearchParams.from_dict({
                     "scan_mode": "gather", "nprobe": nprobe,
                     "recall_num": recall_num, "has_rank": True})
@@ -1007,12 +1029,16 @@ def main():
                     len(set(found_g10[i].tolist())
                         & set(gt10[i].tolist())) / k
                     for i in range(nq10)]))
-                qbg10 = qd10[np.arange(512) % nq10]
+                # the scan transient is [B, P, cap_eff] f32: batch 1024
+                # (the grouped kernel's operating point) fits when the
+                # watermark ladder is <= 8192, else fall back to 512
+                bg10 = 1024 if ce10 <= 8192 else 512
+                qbg10 = qd10[np.arange(bg10) % nq10]
                 jax.block_until_ready(run_g10(qbg10))
                 gqps10 = measure_qps(lambda: run_g10(qbg10), iters=5,
-                                     reps=2, rows=512)
+                                     reps=2, rows=bg10)
                 log(f"10M gather (SQ8, no dense mirror): {gqps10:,.0f} "
-                    f"QPS @ recall@10 {rec_g10:.4f} (batch 512)")
+                    f"QPS @ recall@10 {rec_g10:.4f} (batch {bg10})")
                 tenm["gather_qps"] = round(gqps10, 1)
                 tenm["gather_recall_at_10"] = round(rec_g10, 4)
             else:

@@ -66,11 +66,16 @@ def main():
 
     mesh1 = build_mesh(1, 1)
 
-    for tag, raw_in, rerank in (
-            ("rerank f32 raw (bench cfg)", raw, True),
-            ("rerank bf16 raw", raw.astype(jnp.bfloat16), True),
-            ("no rerank", raw, False)):
-        sh = shard_ivfpq(mesh1, state, cents, None, codebooks, raw_in)
+    ce = 256
+    while ce < L:
+        ce *= 2
+    for tag, raw_in, rerank, cap_eff in (
+            ("rerank f32 raw (bench cfg)", raw, True, 0),
+            (f"rerank f32 cap_eff={ce}", raw, True, ce),
+            ("no rerank", raw, False, 0),
+            (f"no rerank cap_eff={ce}", raw, False, ce)):
+        sh = shard_ivfpq(mesh1, state, cents, None, codebooks, raw_in,
+                         cap_eff=cap_eff)
         fn = sharded_ivfpq_search_fn(
             mesh1, nprobe=p, recall_num=rn, k=k, metric="l2",
             rerank=rerank, v_per_shard=sh.v_per_shard,
@@ -87,14 +92,15 @@ def main():
     raw_bf = jnp.asarray(raw.astype(jnp.bfloat16))
     cents_j = jnp.asarray(cents)
 
-    def single(st, rw, q):
-        return iv.ivfpq_search(
-            st, cents_j, cnorms, codebooks, q, penalty, rw,
-            live_n=n, nprobe=p, recall_num=rn, k=k, metric="l2",
-            rerank=True, scan_impl="pallas")
-    ms = bench(jax.jit(single), state, raw_bf, queries)
-    print(f"single-chip gather (bf16 raw)   : {ms:7.2f} ms  "
-          f"({b / ms * 1e3:8,.0f} QPS)", flush=True)
+    for cap_eff in (0, ce):
+        def single(st, rw, q):
+            return iv.ivfpq_search(
+                st, cents_j, cnorms, codebooks, q, penalty, rw,
+                live_n=n, nprobe=p, recall_num=rn, k=k, metric="l2",
+                rerank=True, scan_impl="pallas", cap_eff=cap_eff)
+        ms = bench(jax.jit(single), state, raw_bf, queries)
+        print(f"single-chip gather cap_eff={cap_eff:4d}: {ms:7.2f} ms  "
+              f"({b / ms * 1e3:8,.0f} QPS)", flush=True)
 
 
 if __name__ == "__main__":

@@ -883,7 +883,9 @@ class GammaEngine:
                             model.store.device)
                     sh["snap_n"]["gather"] = model.indexed_count
                     sh["del_at_snap_gather"] = self.delete_num
-                sh["index"] = shard_ivfpq(sh["mesh"], *snap)
+                    cap_eff = model._cap_eff()
+                sh["index"] = shard_ivfpq(sh["mesh"], *snap,
+                                          cap_eff=cap_eff)
             snap_n = sh["snap_n"]["gather"]
             use_val = (unfiltered and self.delete_num
                        == sh.get("del_at_snap_gather", -1))

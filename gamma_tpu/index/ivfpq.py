@@ -443,12 +443,19 @@ class IVFPQIndex(RetrievalModel):
     def _sq_init(self, residuals: jnp.ndarray) -> None:
         from gamma_tpu.ops.pallas_gsq import train_sq
         self.sq_scale, self.sq_off = train_sq(residuals)
-        nlist, cap = self.state.nlist, self.state.cap
-        if nlist * cap * (self._sq_d_pad + 4) > SQ_BYTES_BUDGET:
+        nlist = self.state.nlist
+        # sidecar capacity tracks the LADDER (ladder(max_len), not the
+        # posting cap): the posting state presizes to ~3x fill to avoid
+        # regrowth compiles, but at 128 B/slot the sidecar paying that
+        # slack cost ~1.7 GB dead HBM at the 10M geometry (the r3/r4
+        # RESOURCE_EXHAUSTED) — and a full-cap sidecar also forces an
+        # in-jit [nlist, cap_eff] slice COPY on every scan
+        ce = self._sq_ladder(max(self._max_len, 1))
+        if nlist * ce * (self._sq_d_pad + 4) > SQ_BYTES_BUDGET:
             self._sq_drop("init")
             return
-        self.sq_codes = jnp.zeros((nlist, cap, self._sq_d_pad), jnp.uint8)
-        self.sq_norms = jnp.zeros((nlist, cap), jnp.float32)
+        self.sq_codes = jnp.zeros((nlist, ce, self._sq_d_pad), jnp.uint8)
+        self.sq_norms = jnp.zeros((nlist, ce), jnp.float32)
 
     def _sq_drop(self, why: str) -> None:
         if self.sq_codes is not None or why == "init":
@@ -460,27 +467,40 @@ class IVFPQIndex(RetrievalModel):
         self.sq_codes = None
         self.sq_norms = None
 
-    def _sq_grow(self, new_cap: int) -> None:
+    def _sq_grow(self, need: int) -> None:
+        """Grow the sidecar so every live slot (< `need`) is writable.
+        Target = ladder(need) clipped to the posting cap; scatters past
+        the sidecar width would DROP silently (mode=\"drop\"), so the add
+        path must call this BEFORE _sq_append whenever need exceeds the
+        current sidecar width."""
         if self.sq_codes is None:
             return
+        target = self._sq_ladder(need)
+        cur = self.sq_codes.shape[1]
+        if target <= cur:
+            return
         nlist = self.state.nlist
-        if nlist * new_cap * (self._sq_d_pad + 4) > SQ_BYTES_BUDGET:
+        if nlist * target * (self._sq_d_pad + 4) > SQ_BYTES_BUDGET:
             self._sq_drop("grow")
             return
-        pad = new_cap - self.sq_codes.shape[1]
+        pad = target - cur
         self.sq_codes = jnp.pad(self.sq_codes, ((0, 0), (0, pad), (0, 0)))
         self.sq_norms = jnp.pad(self.sq_norms, ((0, 0), (0, pad)))
+
+    def _sq_ladder(self, need: int) -> int:
+        """Power-of-two ladder step covering `need` slots, clipped to the
+        posting cap (positions never exceed it)."""
+        ce = 256
+        while ce < need:
+            ce *= 2
+        return min(ce, self.state.cap)
 
     def _cap_eff(self) -> int:
         """Static scan capacity for the gather tier: the smallest
         power-of-two ladder step covering the live list-length watermark
         (bounds compiled shapes; dead capacity beyond it would still
         cost gather/mask/select work — ~4x at typical fill)."""
-        cap = self.state.cap
-        ce = 256
-        while ce < self._max_len:
-            ce *= 2
-        return min(ce, cap)
+        return self._sq_ladder(self._max_len)
 
     def build_sq_sidecar(self, sample_rows: int = 262_144) -> bool:
         """Post-hoc residual-SQ8 sidecar build from the posting state +
@@ -498,7 +518,13 @@ class IVFPQIndex(RetrievalModel):
         sidecar is active afterwards."""
         assert self._trained, "build_sq_sidecar before train"
         with self.mutate_lock:
-            nlist, cap = self.state.nlist, self.state.cap
+            nlist = self.state.nlist
+            # ladder capacity, not the posting cap: lists never exceed
+            # max(lens), so slots past ladder(max_len) are dead padding —
+            # at the 10M geometry the 3x-slack posting cap would cost the
+            # sidecar ~1.7 GB of dead HBM plus an in-jit slice copy per
+            # scan (the r4 gather-phase RESOURCE_EXHAUSTED)
+            cap = self._cap_eff()
             d_pad = self._sq_d_pad
             self.sq_payload = "sq8"
             if nlist * cap * (d_pad + 4) > SQ_BYTES_BUDGET:
@@ -507,6 +533,8 @@ class IVFPQIndex(RetrievalModel):
             rot = (self.opq_rot if self.opq_rot is not None
                    else jnp.zeros((0, 0), jnp.float32))
             has_rot = self.opq_rot is not None
+            vids_ce = (self.state.vids if cap == self.state.cap
+                       else self.state.vids[:, :cap])
             # block size bounds the f32 row gather to ~64 MB
             lb = max(1, min(nlist, (64 << 20) // max(1, cap * self.d * 4)))
             if self.sq_scale is None:
@@ -514,7 +542,7 @@ class IVFPQIndex(RetrievalModel):
                 chunks, got = [], 0
                 for s in range(0, nlist - lb + 1, lb):
                     res, live = _sq_block_residuals(
-                        self.store.device, self.state.vids,
+                        self.store.device, vids_ce,
                         self.state.lens, self.centroids, rot,
                         jnp.int32(s), lb=lb, has_rot=has_rot)
                     r = np.asarray(res)[np.asarray(live)]
@@ -536,7 +564,7 @@ class IVFPQIndex(RetrievalModel):
                 starts.append(nlist - lb)
             for s in starts:
                 sq_codes, sq_norms = _sq_block_encode(
-                    sq_codes, sq_norms, self.store.device, self.state.vids,
+                    sq_codes, sq_norms, self.store.device, vids_ce,
                     self.centroids, rot, self.sq_scale, self.sq_off,
                     jnp.int32(s), d_pad=d_pad, lb=lb, has_rot=has_rot)
             self.sq_codes, self.sq_norms = sq_codes, sq_norms
@@ -690,9 +718,12 @@ class IVFPQIndex(RetrievalModel):
             # positions stay valid across growth: they depend on lens,
             # not cap
             self.state = rt.grow(self.state, new_cap)
-            self._sq_grow(new_cap)
             self.placer.cap = new_cap
         self._max_len = max(self._max_len, need)
+        # sidecar growth is NEED-based (ladder(max_len)), decoupled from
+        # posting-cap growth: scatters beyond the sidecar width drop
+        # silently, so this must precede _sq_append
+        self._sq_grow(need)
         _t["place"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         if self.sq_active:
@@ -896,14 +927,14 @@ class IVFPQIndex(RetrievalModel):
                       live_n,
                       nprobe=nprobe, recall_num=recall_num, k=k,
                       metric=metric, rerank=sp.has_rank,
-                      scan_impl=scan_impl)
+                      scan_impl=scan_impl, cap_eff=self._cap_eff())
         rn = max(recall_num, k)
         rd, rdoc, rvid = fn(
             self.state, self.centroids, self.cent_norms, self.pq,
             q, penalty, self.store.device, queries, dist_range,
             live_n,
             nprobe=nprobe, recall_num=rn, k=rn, metric=metric,
-            rerank=False, scan_impl=scan_impl)
+            rerank=False, scan_impl=scan_impl, cap_eff=self._cap_eff())
         if not sp.has_rank:
             return rd[:, :k], rdoc[:, :k], rvid[:, :k]
         rows = self.store.get_padded(np.asarray(rvid))      # [B, R, d]

@@ -104,6 +104,18 @@ def list_bias(docids, lens, cap, penalty=None, live_n=None):
     return jnp.where(ok, pen, BIG)
 
 
+def _trim_state(state: IVFState, cap_eff: int) -> IVFState:
+    """Slice the posting state to the live-watermark ladder width.
+    Exact: lens never exceed the caller's watermark, so slots past it
+    are dead padding (callers pass ladder(max_len), see IVFPQIndex
+    ._cap_eff)."""
+    if not cap_eff or cap_eff >= state.cap:
+        return state
+    return state._replace(codes=state.codes[:, :cap_eff],
+                          vids=state.vids[:, :cap_eff],
+                          docids=state.docids[:, :cap_eff])
+
+
 def _select_late(dist, list_ids, docids, vids, cap, recall_num,
                  exact: bool = False):
     """Candidate select with LATE id materialization: top-k runs on the
@@ -243,7 +255,7 @@ def rerank_rows(queries, rd, rdoc, rvid, rows, dist_range=None,
 @functools.partial(
     jax.jit,
     static_argnames=("nprobe", "recall_num", "k", "metric", "rerank",
-                     "scan_impl"))
+                     "scan_impl", "cap_eff"))
 def ivfpq_search(state: IVFState,
                  centroids: jnp.ndarray,      # [nlist, d] f32
                  cent_norms: jnp.ndarray,     # [nlist] f32
@@ -256,14 +268,21 @@ def ivfpq_search(state: IVFState,
                  live_n: Optional[jnp.ndarray] = None,       # scalar i32
                  *, nprobe: int, recall_num: int, k: int,
                  metric: str = "l2", rerank: bool = True,
-                 scan_impl: str = "xla"):
+                 scan_impl: str = "xla", cap_eff: int = 0):
     """→ (dists [B, k] f32, docids [B, k] i32, vids [B, k] i32).
     Masked/empty slots return dist >= BIG and ids = -1.
 
     scan_impl="pallas" runs the ADC accumulation in the Pallas kernel
     (ops/pallas_adc.py) — measured ~8x faster than XLA's gather lowering
     on v5e at the SIFT1M geometry; "xla" is the portable path (and fine
-    on CPU)."""
+    on CPU).
+
+    cap_eff (static) trims the scan to the live list-length watermark
+    ladder: the posting state presizes to ~3x fill to avoid regrowth
+    compiles, so scanning the full cap pays 2-3x dead slots through the
+    kernel, the bias, and the select (the in-jit slice copy is ~0.1 ms
+    of HBM traffic at the 1M geometry — the scan saving is milliseconds)."""
+    state = _trim_state(state, cap_eff)
     cd, list_ids = coarse_assign(queries, centroids, cent_norms,
                                  nprobe, metric)
     bias_l = list_bias(state.docids, state.lens, state.cap,
@@ -341,7 +360,7 @@ def topk_like(rd, rdoc, rvid, k):
 @functools.partial(
     jax.jit,
     static_argnames=("nprobe", "recall_num", "k", "metric", "rerank",
-                     "scan_impl", "by_residual"))
+                     "scan_impl", "by_residual", "cap_eff"))
 def ivfpqfs_search(state: IVFState,           # codes packed [nlist,cap,M/2]
                    centroids: jnp.ndarray,
                    cent_norms: jnp.ndarray,
@@ -354,7 +373,8 @@ def ivfpqfs_search(state: IVFState,           # codes packed [nlist,cap,M/2]
                    live_n: Optional[jnp.ndarray] = None,     # scalar i32
                    *, nprobe: int, recall_num: int, k: int,
                    metric: str = "l2", rerank: bool = True,
-                   scan_impl: str = "xla", by_residual: bool = True):
+                   scan_impl: str = "xla", by_residual: bool = True,
+                   cap_eff: int = 0):
     """FastScan search: 4-bit PQ with packed codes.
 
     by_residual=False is the reference's layout (4-bit PQ of the RAW
@@ -365,7 +385,8 @@ def ivfpqfs_search(state: IVFState,           # codes packed [nlist,cap,M/2]
     reason to drop the residual does not apply on TPU and the recall
     penalty of by_residual=false at nlist≈2k goes away.  Same fused
     mask / score range / recall heap / exact-rerank contract as
-    ivfpq_search."""
+    ivfpq_search (incl. cap_eff watermark trimming)."""
+    state = _trim_state(state, cap_eff)
     cd, list_ids = coarse_assign(queries, centroids, cent_norms,
                                  nprobe, metric)
     bias_l = list_bias(state.docids, state.lens, state.cap,
@@ -471,13 +492,21 @@ def ivfsq_search(state: IVFState,             # posting ids/lens (codes unused)
     lists never exceed max(lens), so slots beyond it are dead padding
     that would still cost gather/mask/select work.
     → (dists [B, k] f32, docids [B, k] i32, vids [B, k] i32)."""
+    # scan width: the ladder watermark, never wider than either the
+    # posting cap or the sidecar's own width (the sidecar is allocated
+    # at ladder(max_len), usually NARROWER than the 3x-slack posting
+    # cap; legacy dumps may still carry a full-cap sidecar).  Slots past
+    # max(lens) are dead, so trimming is exact.
     cap = state.cap
-    if cap_eff and cap_eff < cap:
-        sq_codes = sq_codes[:, :cap_eff]
-        sq_norms = sq_norms[:, :cap_eff]
-        state = state._replace(vids=state.vids[:, :cap_eff],
-                               docids=state.docids[:, :cap_eff])
-        cap = cap_eff
+    sq_cap = sq_codes.shape[1]
+    eff = min(cap, sq_cap, cap_eff or sq_cap)
+    if eff < sq_cap:
+        sq_codes = sq_codes[:, :eff]
+        sq_norms = sq_norms[:, :eff]
+    if eff < cap:
+        state = state._replace(vids=state.vids[:, :eff],
+                               docids=state.docids[:, :eff])
+    cap = eff
     cd, list_ids = coarse_assign(queries, centroids, cent_norms,
                                  nprobe, metric)
     bias_l = list_bias(state.docids, state.lens, cap,

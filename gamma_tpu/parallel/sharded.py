@@ -98,27 +98,41 @@ def _pad_axis0(x: np.ndarray, size: int, fill=0) -> np.ndarray:
 
 
 def shard_ivfpq(mesh: Mesh, state: IVFState, centroids, cent_norms,
-                codebooks: pq_ops.PQCodebooks, raw) -> ShardedIVFPQ:
+                codebooks: pq_ops.PQCodebooks, raw,
+                cap_eff: int = 0) -> ShardedIVFPQ:
     """Distribute a single-chip index over the mesh.  Lists and raw rows
     are padded to a multiple of the shard count and split contiguously:
     shard i owns lists [i*L_loc, (i+1)*L_loc) and rows
-    [i*V_loc, (i+1)*V_loc).  docids/vids stay GLOBAL ids."""
+    [i*V_loc, (i+1)*V_loc).  docids/vids stay GLOBAL ids.
+
+    cap_eff (the caller's live-watermark ladder, IVFPQIndex._cap_eff)
+    trims the sharded posting arrays to the live width ONCE at shard
+    time — the per-shard scan, bias, and select then never touch the
+    posting cap's ~3x presize slack."""
     s = mesh.shape[LIST_AXIS]
     nlist = int(state.nlist)
     l_pad = -(-nlist // s) * s
     v = int(np.asarray(raw).shape[0])
     v_pad = -(-v // s) * s
 
+    codes_np = np.asarray(state.codes)
+    vids_np = np.asarray(state.vids)
+    docids_np = np.asarray(state.docids)
+    if cap_eff and cap_eff < vids_np.shape[1]:
+        codes_np = codes_np[:, :cap_eff]
+        vids_np = vids_np[:, :cap_eff]
+        docids_np = docids_np[:, :cap_eff]
+
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     row = P(LIST_AXIS)
     st = IVFState(
-        codes=put(_pad_axis0(np.asarray(state.codes), l_pad),
+        codes=put(_pad_axis0(codes_np, l_pad),
                   P(LIST_AXIS, None, None)),
-        vids=put(_pad_axis0(np.asarray(state.vids), l_pad, -1),
+        vids=put(_pad_axis0(vids_np, l_pad, -1),
                  P(LIST_AXIS, None)),
-        docids=put(_pad_axis0(np.asarray(state.docids), l_pad, -1),
+        docids=put(_pad_axis0(docids_np, l_pad, -1),
                    P(LIST_AXIS, None)),
         lens=put(_pad_axis0(np.asarray(state.lens), l_pad), row),
     )
@@ -345,11 +359,16 @@ def shard_ivfsq(mesh: Mesh, state: IVFState, centroids, cent_norms,
     docids = np.asarray(state.docids)
     codes = np.asarray(sq_codes)
     norms = np.asarray(sq_norms)
-    if cap_eff and cap_eff < vids.shape[1]:
-        vids = vids[:, :cap_eff]
-        docids = docids[:, :cap_eff]
-        codes = codes[:, :cap_eff]
-        norms = norms[:, :cap_eff]
+    # effective width: the caller's ladder watermark, never wider than
+    # the sidecar's own allocation (which may already be ladder-trimmed
+    # below the 3x-slack posting cap)
+    eff = min(cap_eff or codes.shape[1], codes.shape[1])
+    if eff < vids.shape[1]:
+        vids = vids[:, :eff]
+        docids = docids[:, :eff]
+    if eff < codes.shape[1]:
+        codes = codes[:, :eff]
+        norms = norms[:, :eff]
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))

@@ -144,9 +144,13 @@ def compact_state(state: IVFState) -> IVFState:
 @jax.jit
 def compact_state_with(state: IVFState, extras: Tuple[jnp.ndarray, ...]
                        ) -> Tuple[IVFState, Tuple[jnp.ndarray, ...]]:
-    """compact_state plus sidecar arrays (leading dims [nlist, cap, ...])
+    """compact_state plus sidecar arrays (leading dims [nlist, cap_e, ...])
     permuted by the SAME per-list order — used for the SQ8 payload that
-    must stay slot-aligned with the posting lists."""
+    must stay slot-aligned with the posting lists.  An extra may be
+    NARROWER than the posting cap (the SQ8 sidecar is allocated at
+    ladder(max_len)): every live slot sits below its width, so the
+    order prefix covers them; dead tail entries clamp to garbage that
+    scans mask by length/validity."""
     cap = state.cap
     positions = jnp.arange(cap, dtype=jnp.int32)
 
@@ -157,7 +161,8 @@ def compact_state_with(state: IVFState, extras: Tuple[jnp.ndarray, ...]
                 jnp.where(live[order], vids_l[order], -1),
                 jnp.where(live[order], docids_l[order], -1),
                 jnp.sum(live).astype(jnp.int32),
-                tuple(e[order] for e in extras_l))
+                tuple(e[jnp.clip(order[: e.shape[0]], 0, e.shape[0] - 1)]
+                      for e in extras_l))
 
     codes, vids, docids, lens, extras_out = jax.vmap(one_list)(
         state.codes, state.vids, state.docids, state.lens, extras)

@@ -350,6 +350,18 @@ class RawVectorStore:
     def flushed(self) -> int:
         return self._flushed
 
+    def release_device(self) -> None:
+        """Drop the HBM mirror (capacity tier: once an exact-code
+        sidecar serves the scan, the dense mirror is dead HBM — 2.6 GB
+        at the 10M bench geometry).  The host tier remains the master;
+        a later flush_device() re-mirrors everything from it."""
+        if self.tier == "disk":
+            return
+        with self._lock:
+            self.device = jnp.zeros((8, self.d), self.device_dtype)
+            self.device_norms = jnp.zeros((8,), jnp.float32)
+            self._flushed = 0
+
     def device_rows(self, start: int, end: int) -> jnp.ndarray:
         """Device-resident rows [start, end) from the mirror — lets the
         ingest path encode without re-uploading over the host link.

@@ -408,3 +408,92 @@ def test_build_sq_sidecar_own_fit_recall(rng_mod):
     recall = np.mean([len(set(docs[b]) & set(want[b])) / 10
                       for b in range(32)])
     assert recall >= 0.8, f"promoted-sidecar recall@10 = {recall}"
+
+
+def test_cap_eff_trim_matches_full_scan(built, rng_mod):
+    """cap_eff watermark trimming must be invisible in results: the
+    slots past ladder(max_len) are dead padding (lens never exceed the
+    watermark), so the trimmed and untrimmed scans see identical live
+    candidates (ops/ivf_scan._trim_state)."""
+    from gamma_tpu.ops import ivf_scan
+    x, store, idx, pen = built
+    q = jnp.asarray(x[rng_mod.integers(0, x.shape[0], 16)].copy())
+    ce = idx._cap_eff()
+    assert ce <= idx.state.cap
+    args = (idx.state, idx.centroids, idx.cent_norms, idx.pq, q, pen,
+            store.device)
+    kw = dict(nprobe=8, recall_num=64, k=10, metric="l2", rerank=True,
+              scan_impl="xla")
+    d0, doc0, vid0 = ivf_scan.ivfpq_search(*args, cap_eff=0, **kw)
+    d1, doc1, vid1 = ivf_scan.ivfpq_search(*args, cap_eff=ce, **kw)
+    np.testing.assert_array_equal(np.asarray(doc0), np.asarray(doc1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
+
+
+def test_sq_sidecar_ladder_alloc_and_growth():
+    """The SQ8 sidecar allocates at ladder(max_len), NOT the posting
+    cap (the 3x presize slack cost ~1.7 GB dead HBM at 10M), and must
+    GROW before any append past its width — a scatter past the sidecar
+    width would drop rows silently and lose recall."""
+    rng = np.random.default_rng(5)
+    n, d, nlist = 4000, 64, 8
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    store = RawVectorStore("v_ladder", d)
+    store.add(x)
+    store.flush_device()
+    # posting cap presized far beyond fill: 4096 slots/list
+    idx = IVFPQIndex(store, {"ncentroids": nlist, "nsubvector": 16,
+                             "nprobe": nlist, "bucket_init_size": 4096,
+                             "gather_payload": "sq8"})
+    idx.train(x[:2000])
+    vids = np.arange(n, dtype=np.int64)
+    idx.add(x, vids, vids)
+    assert idx.sq_active
+    assert idx.state.cap == 4096
+    ce = idx._cap_eff()
+    assert idx.sq_codes.shape[1] == ce < idx.state.cap
+    assert ce >= int(np.asarray(idx.state.lens).max())
+
+    # every row must be findable through the sidecar scan (no dropped
+    # scatters across the ladder growth steps 256 -> ce)
+    sp = SearchParams.from_dict({"scan_mode": "gather", "recall_num": 32,
+                                 "has_rank": True})
+    pen = jnp.zeros(n, np.float32)
+    sel = rng.integers(0, n, 64)
+    _, docs, _ = idx.search(jnp.asarray(x[sel]), pen, sp, 1)
+    hit = np.mean(np.asarray(docs)[:, 0] == sel)
+    assert hit >= 0.95, f"self-retrieval through sidecar: {hit}"
+
+
+def test_compact_with_narrow_sidecar():
+    """compact_state_with must keep a NARROWER-than-cap sidecar
+    slot-aligned with the compacted posting lists."""
+    rng = np.random.default_rng(6)
+    n, d, nlist = 3000, 64, 8
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    store = RawVectorStore("v_csq", d)
+    store.add(x)
+    store.flush_device()
+    idx = IVFPQIndex(store, {"ncentroids": nlist, "nsubvector": 16,
+                             "nprobe": nlist, "bucket_init_size": 2048,
+                             "gather_payload": "sq8"})
+    idx.train(x[:1500])
+    vids = np.arange(n, dtype=np.int64)
+    idx.add(x, vids, vids)
+    assert idx.sq_active and idx.sq_codes.shape[1] < idx.state.cap
+    # tombstone 40% then compact
+    dead = rng.choice(n, int(0.4 * n), replace=False)
+    idx.delete(dead.astype(np.int64))
+    idx.compact()
+    assert idx.sq_codes.shape[1] < idx.state.cap
+    live = np.setdiff1d(np.arange(n), dead)
+    sp = SearchParams.from_dict({"scan_mode": "gather", "recall_num": 32,
+                                 "has_rank": True})
+    pen = jnp.zeros(n, np.float32)
+    sel = rng.choice(live, 64, replace=False)
+    _, docs, _ = idx.search(jnp.asarray(x[sel]), pen, sp, 1)
+    hit = np.mean(np.asarray(docs)[:, 0] == sel)
+    assert hit >= 0.95, f"post-compact self-retrieval: {hit}"
+    # deleted rows must stay gone
+    _, docs_d, _ = idx.search(jnp.asarray(x[dead[:64]]), pen, sp, 1)
+    assert not np.isin(np.asarray(docs_d)[:, 0], dead).any()
