@@ -58,6 +58,14 @@ def _update_centroids(x, assign, k, old_cents):
     return jnp.where(counts[:, None] > 0, new, old_cents), counts
 
 
+# Full [n, k] distance matrix budget for the FLAT assignment: under it
+# the whole Lloyd loop is two plain matmuls per iteration — the chunked
+# lax.map formulation compiled 201 s cold on v5e at the SIFT1M train
+# geometry vs 14 s flat (experiments/exp_kmeans_compile.py); warm step
+# time is identical (0.14 s).  Train latency is compile-dominated.
+FLAT_DIST_BYTES = 5 << 30
+
+
 @functools.partial(jax.jit, static_argnames=("k", "iters", "chunk"))
 def kmeans_fit(x: jnp.ndarray, init: jnp.ndarray, *, k: int,
                iters: int = 10, chunk: int = 4096):
@@ -69,19 +77,25 @@ def kmeans_fit(x: jnp.ndarray, init: jnp.ndarray, *, k: int,
     to the chunk size with zero rows that are excluded via a weight mask.
     """
     xf = x.astype(jnp.float32)
-    xp, n_true = _pad_rows(xf, chunk)
+    flat = x.shape[0] * k * 4 <= FLAT_DIST_BYTES
+    xp, n_true = _pad_rows(xf, 8 if flat else chunk)
     n_pad = xp.shape[0]
     row_valid = (jnp.arange(n_pad) < n_true)
 
+    def assign_to(cents):
+        if flat:
+            d = pairwise_l2(xp, cents, l2_norms(cents))
+            return jnp.argmin(d, axis=-1).astype(jnp.int32)
+        return _assign_chunked(xp, cents, chunk)
+
     def body(_, cents):
-        assign = _assign_chunked(xp, cents, chunk)
         # poison padded rows to a virtual cluster by masking the one-hot
-        assign = jnp.where(row_valid, assign, -1)
+        assign = jnp.where(row_valid, assign_to(cents), -1)
         new, counts = _update_centroids(xp, assign, k, cents)
         return new
 
     cents = jax.lax.fori_loop(0, iters, body, init.astype(jnp.float32))
-    assign = jnp.where(row_valid, _assign_chunked(xp, cents, chunk), -1)
+    assign = jnp.where(row_valid, assign_to(cents), -1)
     onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
     counts = jnp.sum(onehot, axis=0)
     return cents, counts

