@@ -488,11 +488,16 @@ class IVFPQIndex(RetrievalModel):
         self.sq_norms = jnp.pad(self.sq_norms, ((0, 0), (0, pad)))
 
     def _sq_ladder(self, need: int) -> int:
-        """Power-of-two ladder step covering `need` slots, clipped to the
-        posting cap (positions never exceed it)."""
+        """Geometric (~25%) ladder step covering `need` slots, quantized
+        to 256 and clipped to the posting cap.  Finer than powers of two
+        on purpose: at the 10M geometry a balanced max_len (~10k) under
+        a pow2 ladder jumps to 16384 — past the posting cap — and the
+        watermark trim never fires; 25% steps bound both the dead-slot
+        scan overshoot and the number of distinct compiled shapes
+        (~18 steps to 16k)."""
         ce = 256
         while ce < need:
-            ce *= 2
+            ce = max(ce + 256, -(-int(ce * 1.25) // 256) * 256)
         return min(ce, self.state.cap)
 
     def _cap_eff(self) -> int:
