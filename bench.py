@@ -738,6 +738,7 @@ def main():
     def ingest():
         start.wait()
         t0 = time.time()
+        done = 0
         for s in range(add_chunk, extra_n, add_chunk):
             e = s + add_chunk
             tc = time.time()
@@ -746,14 +747,23 @@ def main():
             # generation each; letting them pile up behind the search
             # queue churns HBM into multi-second allocator stalls
             jax.block_until_ready(idx.state.lens)
-            lag = chunk_period - (time.time() - tc)
+            done += 1
+            # CREDIT-BASED pacing against the cumulative schedule: a
+            # chunk that ran slow (host throttle burst, search-queue
+            # contention) leaves the loop behind schedule, and fast
+            # chunks then run back-to-back until the deficit is repaid.
+            # The r4 fixed per-chunk sleep could never repay a deficit,
+            # so every slow chunk permanently lowered the measured rate
+            # (82.5k vs the 125k target).
+            lag = (t0 + done * chunk_period) - time.time()
             if lag > 0:
                 time.sleep(lag)
             if debug:
                 phases = " ".join(f"{k}={v:.3f}" for k, v in
                                   getattr(idx, "last_add_timings",
                                           {}).items())
-                log(f"  ingest chunk @{s}: {time.time()-tc:.3f}s {phases}")
+                log(f"  ingest chunk @{s}: {time.time()-tc:.3f}s "
+                    f"credit={lag:.3f} {phases}")
         ingest_done["rate"] = (extra_n - add_chunk) / (time.time() - t0)
 
     import gc
@@ -793,6 +803,175 @@ def main():
     import gc as _gc
     _gc.collect()
 
+    # ---- secondary retrieval models at 200k (one measured line each) ----
+    # The reference publishes hnsw / ivfflat / Vearch(ScaNN) recall next
+    # to ivfpq (benchs/README.md "recalls of SIFT1M": hnsw 0.9872@10,
+    # Vearch 0.9902@10); match that evidence standard with an on-chip
+    # {qps, recall@10} point per model at a shared 200k geometry.
+    # GAMMA_BENCH_SECONDARY=0 skips.
+    secondary = None
+    if (os.environ.get("GAMMA_BENCH_SECONDARY", "1") == "1"
+            and n >= 1_000_000 and jax.default_backend() == "tpu"):
+        secondary = {}
+        n2, nq2, b2, nlist2 = 200_000, 256, 1024, 1024
+        x2 = np.ascontiguousarray(corpus[:n2])
+        q2 = (x2[rng.choice(n2, nq2, replace=False)]
+              + 0.5 * rng.normal(size=(nq2, d))).astype(np.float32)
+        gt2 = host_gt(x2, q2, k)          # L2 gt (content-hash cached)
+        qd2 = jnp.asarray(q2)
+        qb2 = qd2[np.arange(b2) % nq2]
+        ids2 = np.arange(n2, dtype=np.int64)
+
+        def sec_store():
+            s2 = RawVectorStore("sec", d, init_cap=n2 + 1024)
+            s2.add(x2)
+            s2.flush_device()
+            return s2
+
+        def sec_measure(name, idx2, pen2, sp2, gt, vn=None):
+            found = []
+            for s_ in range(0, nq2, 128):
+                _, docs, _ = idx2.search(qd2[s_: s_ + 128], pen2, sp2, k,
+                                         validity_n=vn)
+                found.append(np.asarray(docs))
+            found = np.concatenate(found)
+            rec = float(np.mean([
+                len(set(found[i].tolist()) & set(gt[i].tolist())) / k
+                for i in range(nq2)]))
+            jax.block_until_ready(
+                idx2.search(qb2, pen2, sp2, k, validity_n=vn)[0])
+            q_ = measure_qps(
+                lambda: idx2.search(qb2, pen2, sp2, k, validity_n=vn),
+                iters=10, reps=2, rows=b2)
+            log(f"secondary {name}: {q_:,.0f} QPS @ recall@10 {rec:.4f}")
+            secondary[name] = {"qps": round(q_, 1),
+                               "recall_at_10": round(rec, 4)}
+
+        # HNSW (reference: gamma_index_hnswlib; graph beam search)
+        try:
+            ts0 = time.time()
+            from gamma_tpu.index.hnsw import HNSWIndex
+            s2 = sec_store()
+            ih = HNSWIndex(s2, {"nlinks": 32, "efSearch": 64})
+            ih.add(x2, ids2, ids2)
+            log(f"secondary hnsw build: {time.time()-ts0:.1f}s")
+            sec_measure("hnsw", ih,
+                        jnp.zeros(s2.device.shape[0], jnp.float32),
+                        SearchParams.from_dict({"ef_search": 64}), gt2)
+        except Exception as exc:
+            log(f"secondary hnsw failed: {exc!r}")
+            secondary["hnsw"] = {"error": repr(exc)[:200]}
+        finally:
+            ih = s2 = None
+            _gc.collect()
+
+        # IVFFLAT (exact bf16 payload in-scan; reference ivfflat)
+        try:
+            from gamma_tpu.index.ivfflat import IVFFlatIndex
+            s2 = sec_store()
+            iv2 = IVFFlatIndex(s2, {
+                "ncentroids": nlist2, "nprobe": nprobe,
+                "bucket_init_size": max(256, 4 * n2 // nlist2)})
+            iv2.train(x2)
+            for s_ in range(0, n2, add_chunk):
+                e_ = min(n2, s_ + add_chunk)
+                iv2.add(x2[s_:e_], ids2[s_:e_], ids2[s_:e_])
+            sec_measure("ivfflat", iv2, jnp.zeros(n2, jnp.float32),
+                        SearchParams.from_dict({"nprobe": nprobe}), gt2)
+        except Exception as exc:
+            log(f"secondary ivfflat failed: {exc!r}")
+            secondary["ivfflat"] = {"error": repr(exc)[:200]}
+        finally:
+            iv2 = s2 = None
+            _gc.collect()
+
+        # BINARYIVF (sign-bit Hamming; tie-aware recall — Hamming
+        # distances are small ints, so the top-10 boundary is a tie
+        # plateau: count found ids at distance <= the true 10th's)
+        try:
+            from gamma_tpu.index.binary_ivf import (BinaryIVFIndex,
+                                                    pack_bits_np)
+            pb2 = pack_bits_np(x2)
+            pq2 = pack_bits_np(q2)
+            pop = np.unpackbits(
+                np.arange(256, dtype=np.uint8)[:, None],
+                axis=1).sum(1).astype(np.int32)
+            hgt_thr = np.empty(nq2, np.int32)
+            for i_ in range(nq2):
+                hd = pop[pb2 ^ pq2[i_]].sum(1)
+                hgt_thr[i_] = np.partition(hd, k - 1)[k - 1]
+            s2 = sec_store()
+            ib = BinaryIVFIndex(s2, {
+                "ncentroids": nlist2, "nprobe": nprobe,
+                "bucket_init_size": max(256, 4 * n2 // nlist2)})
+            ib.train(x2)
+            for s_ in range(0, n2, add_chunk):
+                e_ = min(n2, s_ + add_chunk)
+                ib.add(x2[s_:e_], ids2[s_:e_], ids2[s_:e_])
+            sp_b = SearchParams.from_dict({"nprobe": nprobe})
+            found_b = []
+            for s_ in range(0, nq2, 128):
+                _, docs, _ = ib.search(qd2[s_: s_ + 128],
+                                       jnp.zeros(n2, jnp.float32),
+                                       sp_b, k)
+                found_b.append(np.asarray(docs))
+            found_b = np.concatenate(found_b)
+            hits = 0
+            for i_ in range(nq2):
+                f_ = found_b[i_][found_b[i_] >= 0]
+                hits += (pop[pb2[f_] ^ pq2[i_]].sum(1)
+                         <= hgt_thr[i_]).sum() / k
+            rec_b = float(hits / nq2)
+            pen_b = jnp.zeros(n2, jnp.float32)
+            jax.block_until_ready(ib.search(qb2, pen_b, sp_b, k)[0])
+            q_b = measure_qps(lambda: ib.search(qb2, pen_b, sp_b, k),
+                              iters=10, reps=2, rows=b2)
+            log(f"secondary binaryivf: {q_b:,.0f} QPS @ tie-aware "
+                f"recall@10 {rec_b:.4f}")
+            secondary["binaryivf"] = {"qps": round(q_b, 1),
+                                      "recall_at_10": round(rec_b, 4)}
+        except Exception as exc:
+            log(f"secondary binaryivf failed: {exc!r}")
+            secondary["binaryivf"] = {"error": repr(exc)[:200]}
+        finally:
+            ib = s2 = None
+            _gc.collect()
+
+        # SCANN / VEARCH (anisotropic quantization, MIPS).  IP ground
+        # truth: f32 candidate top-64 on chip + exact f64 host resort.
+        try:
+            from gamma_tpu.index.scann import ScaNNIndex
+            xd2 = jnp.asarray(x2)
+            sc_, si_ = jax.lax.top_k(
+                jnp.einsum("qd,nd->qn", qd2, xd2,
+                           preferred_element_type=jnp.float32), 64)
+            cand = np.asarray(si_)
+            gt_ip = np.empty((nq2, k), np.int64)
+            q64 = q2.astype(np.float64)
+            for i_ in range(nq2):
+                ips = x2[cand[i_]].astype(np.float64) @ q64[i_]
+                gt_ip[i_] = cand[i_][np.argsort(-ips)[:k]]
+            s2 = sec_store()
+            isc = ScaNNIndex(s2, {
+                "ncentroids": nlist2, "nsubvector": m,
+                "bucket_init_size": max(256, 4 * n2 // nlist2)})
+            isc.train(x2)
+            for s_ in range(0, n2, add_chunk):
+                e_ = min(n2, s_ + add_chunk)
+                isc.add(s2.device_rows(s_, e_), ids2[s_:e_], ids2[s_:e_])
+            jax.block_until_ready(isc.state.lens)
+            sec_measure("scann", isc, jnp.zeros(n2, jnp.float32),
+                        SearchParams.from_dict(
+                            {"scan_mode": "dense", "recall_num":
+                             recall_num, "has_rank": True}),
+                        gt_ip, vn=n2)
+        except Exception as exc:
+            log(f"secondary scann failed: {exc!r}")
+            secondary["scann"] = {"error": repr(exc)[:200]}
+        finally:
+            isc = s2 = None
+            _gc.collect()
+
     # ---- d=512 (VGG-geometry) section ----
     # The reference's other published geometry: 512-d VGG features at
     # 0.9702 recall@10 on VGG1M (benchs/README.md "Models" + recall
@@ -804,7 +983,7 @@ def main():
     if (os.environ.get("GAMMA_BENCH_VGG", "1") == "1"
             and n == 1_000_000 and jax.default_backend() == "tpu"):
         vgg_cached = os.path.exists(_cache_path("corpus",
-                                                "500000_512_1024_24"))
+                                                "1000000_512_1024_24"))
         if not vgg_cached and (time.time() - t_start) > 1800:
             log(f"VGG section skipped: cold corpus cache and the run is "
                 f"already {time.time()-t_start:.0f}s in; run "
@@ -814,10 +993,15 @@ def main():
             tv0 = time.time()
             try:
                 head = hbm_headroom_gb()
-                if head is not None and head < 5.0:
+                if head is not None and head < 7.0:
                     raise RuntimeError(
-                        f"skipped: {head:.1f} GB HBM headroom (need ~5)")
-                nv, dv, mv, nqv = 500_000, 512, 64, 256
+                        f"skipped: {head:.1f} GB HBM headroom (need ~7)")
+                # VGG1M — the reference's published scale for this
+                # geometry (benchs/README.md: VGG1M recall@10 0.9702);
+                # r4 ran 500k, which covered the d=512 tiling but not
+                # the row count.  f32 store (2 GB) + bf16 recon (1 GB)
+                # + codes + SQ8 sidecar ≈ 5.5 GB persistent.
+                nv, dv, mv, nqv = 1_000_000, 512, 64, 256
                 corpus_v, _ = make_corpus(nv, dv, 1024, rng, intrinsic=24)
                 qv = corpus_v[rng.choice(nv, nqv, replace=False)] + \
                     0.5 * rng.normal(size=(nqv, dv)).astype(np.float32)
@@ -831,7 +1015,11 @@ def main():
                     "nprobe": nprobe,
                     "bucket_init_size": max(1024, 4 * nv // nlist)})
                 t0 = time.time()
-                idx_v.train(store_v.device_rows(0, min(nv, nlist * 128)))
+                # train set = nlist*256 rows — the reference clamp's
+                # upper bound and the 1M section's sizing (an r4 cut to
+                # nlist*128 silently halved it; restored for recall
+                # comparability across rounds)
+                idx_v.train(store_v.device_rows(0, min(nv, nlist * 256)))
                 train_v = time.time() - t0
                 ids_v = np.arange(nv, dtype=np.int64)
                 for s in range(0, nv, add_chunk):
@@ -1085,6 +1273,7 @@ def main():
         "train_s": round(train_s, 1),
         "n": n, "d": d, "nlist": nlist, "m": m, "nprobe": nprobe,
         "batch": batch_best, "qps_by_batch": qps_by_batch,
+        "secondary": secondary,
         "tenm": tenm,
         "vgg": vgg,
         "total_wall_s": round(time.time() - t_start, 1),

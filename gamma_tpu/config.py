@@ -206,6 +206,20 @@ class IVFPQParams:
         p.training_threshold = int(d.get("training_threshold", 0))
         p.scan_mode = str(d.get("scan_mode", "auto"))
         p.gather_payload = str(d.get("gather_payload", ""))
+        # the reference accepts an "hnsw" sub-object selecting an HNSW
+        # coarse quantizer (gamma_index_ivfpq.cc:146-156 via the params'
+        # GetObject("hnsw")).  This engine SUBSTITUTES flat MXU assign
+        # (one B x d x nlist matmul beats graph traversal on TPU for
+        # nlist <= ~64k) — fail loudly instead of silently ignoring a
+        # param that changes the reference's recall/latency profile.
+        for key in ("hnsw", "quantizer_type"):
+            if key in d and str(d[key]).lower() not in ("", "flat"):
+                raise ValueError(
+                    f"IVFPQ param {key!r}={d[key]!r}: the HNSW coarse "
+                    "quantizer is substituted by flat MXU assignment on "
+                    "TPU (documented deviation, see index/ivfpq.py "
+                    "module docstring); omit the param or use the "
+                    "standalone HNSW retrieval model")
         return p
 
 

@@ -889,6 +889,13 @@ class IVFPQIndex(RetrievalModel):
                             + self.recon_valid.size * 4)
             mode = ("dense" if mirror_bytes <= DENSE_BYTES_BUDGET
                     else "gather")
+        if mode == "dense" and self.store.released:
+            # XLA clamps the dense scan's row gathers, so a released
+            # mirror would return silently wrong distances
+            raise RuntimeError(
+                "dense scan requested but the raw store's device mirror "
+                "was released (release_device); call store.flush_device()"
+                " to re-mirror or search in gather mode")
         return mode
 
     def _brute_fallback(self, queries, penalty, k, metric, dist_range):
@@ -927,6 +934,11 @@ class IVFPQIndex(RetrievalModel):
         live_n = (None if validity_n is None
                   else self._live_n_scalar(validity_n))
         if self.store.tier != "disk":
+            # in-jit rerank gathers rows by vid from the device mirror;
+            # a released mirror would rerank against clamped row 0
+            assert not (sp.has_rank and self.store.released), (
+                "gather rerank needs the device mirror but it was "
+                "released; flush_device() or search with has_rank=False")
             return fn(self.state, self.centroids, self.cent_norms, self.pq,
                       q, penalty, self.store.device, queries, dist_range,
                       live_n,

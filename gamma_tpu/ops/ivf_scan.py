@@ -432,10 +432,11 @@ def ivfpqfs_search(state: IVFState,           # codes packed [nlist,cap,M/2]
                          | (raw_dist > dist_range[1]), BIG, dist)
     dist = jnp.minimum(dist, BIG)
 
-    # exact candidate select: the 4-bit codes already cost ~1pt of
-    # recall; stacking ApproxTopK's bin-collision loss on top (and
-    # its non-nested candidate sets across recall_num) held
-    # recall@10 under the 0.99 reference bar.
+    # exact=True candidate select (full sort <= EXACT_SORT_MAX_WIDTH,
+    # near-exact pooled select beyond — see _select_late): the 4-bit
+    # codes already cost ~1pt of recall; stacking ApproxTopK's direct
+    # bin-collision loss on top (and its non-nested candidate sets
+    # across recall_num) held recall@10 under the 0.99 reference bar.
     rd, rdoc, rvid = _select_late(dist, list_ids, state.docids,
                                   state.vids, state.cap, recall_num,
                                   exact=True)
@@ -533,10 +534,12 @@ def ivfsq_search(state: IVFState,             # posting ids/lens (codes unused)
                          | (raw_dist > dist_range[1]), BIG, dist)
     dist = jnp.minimum(dist, BIG)
 
-    # EXACT select: distances are near-exact, so ApproxTopK's
-    # bin-collision recall loss is not paid here (clustered true
-    # neighbors sharing a hot list alias into the same contiguous
-    # bins; measured -2pts when selecting top-k directly).
+    # exact=True select: full sort up to EXACT_SORT_MAX_WIDTH (2^17)
+    # candidates; beyond that, _select_late switches to a near-exact
+    # approx_min_k candidate POOL (>=16x k) + exact resort (~1e-4 miss
+    # rate).  Either way ApproxTopK's direct bin-collision loss
+    # (clustered true neighbors sharing a hot list alias into the same
+    # contiguous bins; measured -2pts) is not paid at top-k itself.
     return _select_late(dist, list_ids, state.docids, state.vids,
                         cap, k, exact=True)
 

@@ -133,6 +133,11 @@ class RawVectorStore:
         self.compress_blocks = compress_blocks
         self.n = 0                       # number of vectors (vids) stored
         self._flushed = 0                # rows mirrored to device
+        # mirror dropped by release_device(): consumers that gather rows
+        # from `device` (dense scan, in-jit rerank) must check this —
+        # XLA clamps out-of-bounds gathers, so a released mirror returns
+        # silently wrong rows rather than failing
+        self.released = False
         self._lock = threading.Lock()
         self.vid_mgr = VIDMgr(multi_vids)
 
@@ -344,6 +349,7 @@ class RawVectorStore:
                 self.device, self.device_norms, rows, norms,
                 jnp.int32(start))
             self._flushed = end
+            self.released = False        # mirror is current again
             return count
 
     @property
@@ -361,6 +367,7 @@ class RawVectorStore:
             self.device = jnp.zeros((8, self.d), self.device_dtype)
             self.device_norms = jnp.zeros((8,), jnp.float32)
             self._flushed = 0
+            self.released = True
 
     def device_rows(self, start: int, end: int) -> jnp.ndarray:
         """Device-resident rows [start, end) from the mirror — lets the

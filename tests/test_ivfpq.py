@@ -497,3 +497,54 @@ def test_compact_with_narrow_sidecar():
     # deleted rows must stay gone
     _, docs_d, _ = idx.search(jnp.asarray(x[dead[:64]]), pen, sp, 1)
     assert not np.isin(np.asarray(docs_d)[:, 0], dead).any()
+
+
+def test_hnsw_quantizer_param_rejected():
+    """The reference accepts an "hnsw" coarse-quantizer param block
+    (gamma_index_ivfpq.cc:146-156); this engine substitutes flat MXU
+    assignment and must REJECT the param loudly, not ignore it."""
+    store = RawVectorStore("vec", 16)
+    with pytest.raises(ValueError, match="hnsw"):
+        IVFPQIndex(store, {"ncentroids": 16, "nsubvector": 4,
+                           "hnsw": {"nlinks": 32, "efSearch": 64}})
+    with pytest.raises(ValueError, match="quantizer_type"):
+        IVFPQIndex(store, {"ncentroids": 16, "nsubvector": 4,
+                           "quantizer_type": "hnsw"})
+    # explicit "flat" (the substitution itself) stays accepted
+    IVFPQIndex(store, {"ncentroids": 16, "nsubvector": 4,
+                       "quantizer_type": "flat"})
+
+
+def test_released_mirror_guard(rng_mod):
+    """A released device mirror must fail loudly when a dense scan or a
+    gather rerank would read it (XLA clamps OOB gathers — without the
+    guard the result is silently wrong, not an error)."""
+    rng = rng_mod
+    n, d = 3000, 32
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    store = RawVectorStore("vec", d)
+    store.add(x)
+    store.flush_device()
+    idx = IVFPQIndex(store, {"ncentroids": 16, "nsubvector": 8,
+                             "nprobe": 8, "gather_payload": "pq"})
+    idx.train(x)
+    vids = np.arange(n, dtype=np.int64)
+    idx.add(x, vids, vids)
+    pen = jnp.zeros(n, np.float32)
+    q = jnp.asarray(x[:4])
+    store.release_device()
+    assert store.released
+    with pytest.raises(RuntimeError, match="released"):
+        idx.search(q, pen, SearchParams.from_dict(
+            {"scan_mode": "dense"}), 5)
+    with pytest.raises(AssertionError, match="released"):
+        idx.search(q, pen, SearchParams.from_dict(
+            {"scan_mode": "gather", "has_rank": True}), 5)
+    # no-rerank gather stays legal (reads only codes, never the mirror)
+    d_, docs, _ = idx.search(q, pen, SearchParams.from_dict(
+        {"scan_mode": "gather", "has_rank": False}), 5)
+    assert (np.asarray(docs)[:, 0] == np.arange(4)).mean() >= 0.75
+    # flush_device re-mirrors and clears the flag
+    store.flush_device()
+    assert not store.released
+    idx.search(q, pen, SearchParams.from_dict({"scan_mode": "dense"}), 5)

@@ -194,8 +194,10 @@ def test_sharded_dense_matches_single(built):
     recall_num boundary can legitimately rank differently — a local
     seed keeps the draw independent of which tests consumed the session
     rng first (this test was order-flaky under `pytest -k` subsets).
-    Top-1 distances are compared only where the top-1 ids AGREE; id
-    disagreements are bounded separately by the overlap bar."""
+    Top-1 parity is asserted on host-recomputed exact distances of each
+    path's top-1 PICK — id near-ties may legitimately differ, but both
+    picks must be (near-)equally close to the query, so a real ranking
+    regression fails regardless of which ids flipped."""
     from gamma_tpu.config import SearchParams
     from gamma_tpu.parallel import shard_dense, sharded_dense_search_fn
     store, idx = built
@@ -217,10 +219,21 @@ def test_sharded_dense_matches_single(built):
     overlap = np.mean([len(set(vids[i]) & set(rdoc[i])) / 10
                        for i in range(16)])
     assert overlap >= 0.9, overlap
-    agree = vids[:, 0] == rdoc[:, 0]
-    assert agree.mean() >= 0.8, f"top-1 id agreement {agree.mean()}"
-    np.testing.assert_allclose(d[agree, 0], rd[agree, 0],
-                               rtol=1e-3, atol=1e-2)
+    # distance parity regardless of id choice: recompute both paths'
+    # top-1 distances from the HOST store (independent of either path's
+    # reported values) — a sharded regression that flips top-1 to a
+    # genuinely farther row fails even when ids legitimately near-tie
+    qh = np.asarray(q, np.float64)
+    xs = store.header(0, store.n).astype(np.float64)
+    d_sh = np.sum((qh - xs[vids[:, 0]]) ** 2, axis=1)
+    d_single = np.sum((qh - xs[rdoc[:, 0]]) ** 2, axis=1)
+    # 1e-2 rtol: both paths rerank from the bf16 mirror, so a genuine
+    # near-tie flip implies exact distances within ~2x bf16 perturbation
+    np.testing.assert_allclose(d_sh, d_single, rtol=1e-2, atol=1e-2)
+    # and each path's reported top-1 distance matches its own pick
+    # (reported values come from bf16 rows; host recompute is f32-exact)
+    np.testing.assert_allclose(d[:, 0], d_sh, rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(rd[:, 0], d_single, rtol=1e-2, atol=1e-2)
 
 
 def test_engine_sharded_dense_dispatch(tmp_path, rng):

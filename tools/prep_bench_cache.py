@@ -36,8 +36,15 @@ def main():
     bench.log("1M GT cached")
 
     if "--vgg" in sys.argv:
-        # ---- VGG-geometry section: 500k x 512-d, intrinsic 24 ----
-        nv, nqv = 500_000, 256
+        # ---- VGG-geometry section: 1M x 512-d, intrinsic 24 ----
+        # NOTE: bench.py consumes extra rng draws before this section
+        # (secondary-model queries), so qv here will NOT match the
+        # bench's draw — but the corpus cache key is rng-free and the
+        # bench restores the stored post-draw state on hit, so the
+        # bench's own (corpus, queries, GT) stay self-consistent; this
+        # pre-computes the corpus (the expensive part).  The GT the
+        # bench derives is TPU-assisted and cheap when a chip is up.
+        nv, nqv = 1_000_000, 256
         corpus_v, _ = bench.make_corpus(nv, 512, 1024, rng, intrinsic=24)
         qv = corpus_v[rng.choice(nv, nqv, replace=False)] + \
             0.5 * rng.normal(size=(nqv, 512)).astype(np.float32)
