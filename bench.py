@@ -552,6 +552,30 @@ def main():
         log(f"gather mode (nprobe={nprobe}, batch 1024): "
             f"{gather_qps:,.0f} QPS, recall@10 = {recall10_g:.4f}")
 
+    # ---- matched single-chip PQ-ADC comparator ----
+    # `gather_qps` above is the SQ8 exact-scan tier (the 1M index keeps
+    # its sidecar active) — a LIGHTER pipeline than the sharded PQ body
+    # below (8-bit ADC + approx select + exact rerank).  r4's "2.4x
+    # sharded gap" was this metric mismatch: exp_shardpq measured the
+    # sharded PQ body within ~8% of the SAME pipeline single-chip.
+    # Measure that matched comparator so the pairings are explicit:
+    #   sharded_pallas_qps  vs  pq_gather_qps   (PQ ADC + rerank)
+    #   sharded_sq8_qps     vs  gather_qps      (SQ8 exact scan)
+    pq_gather_qps = None
+    if gather_sections and jax.default_backend() == "tpu":
+        def run_pq(qb):
+            return iv.ivfpq_search(
+                idx.state, idx.centroids, idx.cent_norms, idx.pq,
+                qb, penalty, store.device, live_n=n,
+                nprobe=nprobe, recall_num=recall_num, k=k, metric="l2",
+                rerank=True, scan_impl="pallas", cap_eff=idx._cap_eff())
+        qb_pq = qd[np.arange(1024) % nq]
+        jax.block_until_ready(run_pq(qb_pq))
+        pq_gather_qps = measure_qps(lambda: run_pq(qb_pq), iters=5,
+                                    reps=2, rows=1024)
+        log(f"single-chip PQ-ADC gather (matched comparator): "
+            f"{pq_gather_qps:,.0f} QPS")
+
     # ---- sharded gather body on ONE real chip via the pallas path ----
     # Proof that the grouped MXU kernel runs INSIDE shard_map on real
     # TPU hardware (the CPU-mesh parity tests exercise the xla branch);
@@ -1263,6 +1287,8 @@ def main():
         "pallas_max_rel_err": pallas_rel_err,
         "sq8_pallas_max_rel_err": sq_rel_err,
         "fs_pallas_max_rel_err": fs_rel_err,
+        "pq_gather_qps": (None if pq_gather_qps is None
+                          else round(pq_gather_qps, 1)),
         "sharded_pallas_qps": (None if sharded_pallas_qps is None
                                else round(sharded_pallas_qps, 1)),
         "sharded_sq8_qps": (None if sharded_sq_qps is None

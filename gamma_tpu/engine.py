@@ -890,15 +890,21 @@ class GammaEngine:
             use_val = (unfiltered and self.delete_num
                        == sh.get("del_at_snap_gather", -1))
             nprobe = min(sp.nprobe or model.p.nprobe, model.p.ncentroids)
+            # code layout is a model property (FastScan: packed 4-bit
+            # nibbles, optionally raw-coded instead of residual)
+            packed = bool(getattr(model, "packed_codes", False))
+            by_res = bool(getattr(model, "by_residual", True))
             key = (nprobe, max(sp.recall_num, k), k,
-                   self._result_metric(sp), sp.has_rank, b_pad, use_val)
+                   self._result_metric(sp), sp.has_rank, b_pad, use_val,
+                   packed, by_res)
             fn = sh["fns"].get(key)
             if fn is None:
                 fn = sharded_ivfpq_search_fn(
                     sh["mesh"], nprobe=key[0], recall_num=key[1],
                     k=key[2], metric=key[3], rerank=key[4],
                     v_per_shard=sh["index"].v_per_shard,
-                    use_validity=use_val)
+                    use_validity=use_val, packed=packed,
+                    by_residual=by_res)
                 sh["fns"][key] = fn
             pen = self._pad_pen(pen_doc, sh["index"].raw.shape[0])
             d, doc, vid = fn(sh["index"], qrot, pen, qd, live_n=snap_n)

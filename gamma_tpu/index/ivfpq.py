@@ -294,6 +294,11 @@ class IVFPQIndex(RetrievalModel):
     # capacity-tier payload default; FastScan/ScaNN override to "pq"
     # (their whole point is the sub-byte/anisotropic code format)
     _sq_payload_default = "sq8"
+    # posting-code layout (the sharded scan body needs these statically:
+    # FastScan packs two 4-bit entries per byte and may code the raw
+    # rotated vector instead of the residual)
+    packed_codes = False
+    by_residual = True
 
     def __init__(self, raw_store: RawVectorStore,
                  params: Optional[Dict[str, Any]] = None):

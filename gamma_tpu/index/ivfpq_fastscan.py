@@ -81,6 +81,7 @@ class IVFPQFastScanIndex(IVFPQIndex):
     # packed 4-bit codes ARE this model's capacity payload; the SQ8
     # sidecar would never be scanned (search overrides the gather path)
     _sq_payload_default = "pq"
+    packed_codes = True      # sharded scan body unpacks in-register
 
     def __init__(self, raw_store: RawVectorStore,
                  params: Optional[Dict[str, Any]] = None):

@@ -165,7 +165,8 @@ def _local_ivfpq_search(codes, vids, docids, lens, cents_l, cnorms_l,
                         queries_raw,
                         *, nprobe, local_probe, recall_num, k, metric,
                         rerank, v_per_shard, scan_impl="xla",
-                        use_validity=False):
+                        use_validity=False, packed=False,
+                        by_residual=True):
     codebooks = pq_ops.PQCodebooks(cb, cb_norms)
     l_loc = cents_l.shape[0]
     cap = codes.shape[1]
@@ -204,21 +205,40 @@ def _local_ivfpq_search(codes, vids, docids, lens, cents_l, cnorms_l,
         # full distance is local-coarse + adc for both metrics.  This
         # replaces the take_along_axis scan the repo measured at
         # 3.5-5.7 s/batch on TPU (docs/perf notes, round 2).
+        # packed=True scans FastScan's two-per-byte 4-bit codes in the
+        # same kernel (unpack happens in-register, ops/pallas_gadc.py).
         from gamma_tpu.ops.pallas_gadc import grouped_adc
         adc = grouped_adc(codes, lens, sel_ids, queries, cents_l,
-                          codebooks, metric=metric, bias=bias_l)
-        dist = adc + sel_d[..., None]
+                          codebooks, metric=metric, bias=bias_l,
+                          packed=packed, residual=by_residual)
+        if metric == "ip":
+            dist = adc + (sel_d[..., None] if by_residual else 0.0)
+        elif by_residual:
+            dist = adc + sel_d[..., None]
+        else:
+            # raw-coded 4-bit (reference FastScan layout): adc carries
+            # -2 q.dq + ||dq||²; add the per-query ||q||² constant
+            qn = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
+            dist = adc + qn[:, None, None]
     else:
         codes_g = jnp.take(codes, sel_ids, axis=0)   # [B, P, cap, W]
+        if packed:
+            from gamma_tpu.ops.pallas_adc import unpack_nibbles
+            codes_g = unpack_nibbles(codes_g)
         if metric == "ip":
             lut = -pq_ops.ip_lut(codebooks, queries)     # [B, M, ksub]
             lut = jnp.broadcast_to(lut[:, None],
                                    (lut.shape[0], p_loc) + lut.shape[1:])
-            base = sel_d[..., None]                      # -q.c per probe
-        else:
+            base = sel_d[..., None] if by_residual else 0.0  # -q.c
+        elif by_residual:
             probed = jnp.take(cents_l, sel_ids, axis=0)  # [B, P, d]
             residual = queries.astype(jnp.float32)[:, None, :] - probed
             lut = pq_ops.l2_lut(codebooks, residual)
+            base = 0.0
+        else:
+            lut = pq_ops.l2_lut(codebooks, queries)      # [B, M, ksub]
+            lut = jnp.broadcast_to(lut[:, None],
+                                   (lut.shape[0], p_loc) + lut.shape[1:])
             base = 0.0
         dist = (pq_ops.adc_scan(lut, codes_g) + base
                 + jnp.take(bias_l, sel_ids, axis=0))
@@ -275,7 +295,9 @@ def sharded_ivfpq_search_fn(mesh: Mesh, *, nprobe: int, recall_num: int,
                             local_probe: Optional[int] = None,
                             v_per_shard: int,
                             scan_impl: Optional[str] = None,
-                            use_validity: bool = False):
+                            use_validity: bool = False,
+                            packed: bool = False,
+                            by_residual: bool = True):
     """Build the jitted sharded search step for a fixed geometry.
 
     Returned fn: (sharded: ShardedIVFPQ, queries [B, d], penalty [N_cap])
@@ -295,7 +317,8 @@ def sharded_ivfpq_search_fn(mesh: Mesh, *, nprobe: int, recall_num: int,
         _local_ivfpq_search, nprobe=nprobe, local_probe=local_probe,
         recall_num=recall_num, k=k, metric=metric, rerank=rerank,
         v_per_shard=v_per_shard, scan_impl=scan_impl,
-        use_validity=use_validity)
+        use_validity=use_validity, packed=packed,
+        by_residual=by_residual)
 
     lists3 = P(LIST_AXIS, None, None)
     lists2 = P(LIST_AXIS, None)

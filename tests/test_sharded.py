@@ -504,3 +504,72 @@ def test_sharded_ivfsq_validity_matches_penalty(built, rng):
                                f_val(sh, q, pen, live_n=store.n))
     np.testing.assert_allclose(pd, vd, rtol=1e-5, atol=1e-5)
     assert (pdoc == vdoc).mean() > 0.98
+
+
+def test_sharded_fastscan_matches_single(corpus_medium, rng):
+    """Sharded FastScan (packed 4-bit codes through the shard body's
+    packed branch) == single-chip ivfpqfs_search at local_probe=nprobe
+    (provably identical candidate set)."""
+    from gamma_tpu.index.ivfpq_fastscan import IVFPQFastScanIndex
+    store = RawVectorStore("vecfs", corpus_medium.shape[1])
+    store.add(corpus_medium)
+    store.flush_device()
+    fs = IVFPQFastScanIndex(store, {"ncentroids": 64, "nsubvector": 8,
+                                    "nprobe": 16})
+    fs.train(corpus_medium)
+    n = corpus_medium.shape[0]
+    ids = np.arange(n, dtype=np.int64)
+    fs.add(corpus_medium, ids, ids)
+    assert fs.packed_codes and fs.state.codes.shape[-1] == 4  # M/2 bytes
+
+    mesh = build_mesh(n_list_shards=4, n_query_shards=2)
+    sh = shard_ivfpq(mesh, fs.state, fs.centroids, fs.cent_norms,
+                     fs.pq, store.device)
+    nprobe, recall, k = 16, 64, 10
+    penalty = jnp.zeros(store.n + 64, jnp.float32)
+    q = jnp.asarray(rng.normal(size=(16, store.d)).astype(np.float32))
+    search = sharded_ivfpq_search_fn(
+        mesh, nprobe=nprobe, recall_num=recall, k=k, metric="l2",
+        rerank=True, local_probe=nprobe, v_per_shard=sh.v_per_shard,
+        packed=True, by_residual=fs.by_residual)
+    sd, sdoc, _ = jax.tree.map(np.asarray, search(sh, q, penalty))
+    rd, rdoc, _ = jax.tree.map(np.asarray, ivf_scan.ivfpqfs_search(
+        fs.state, fs.centroids, fs.cent_norms, fs.pq, q, penalty,
+        store.device, nprobe=nprobe, recall_num=recall, k=k,
+        metric="l2", rerank=True, by_residual=fs.by_residual))
+    np.testing.assert_allclose(sd, rd, rtol=1e-4, atol=1e-3)
+    agree = (sdoc == rdoc).mean()
+    assert agree > 0.95, f"docid agreement {agree}"
+
+
+def test_sharded_fastscan_raw_coded(corpus_medium, rng):
+    """by_residual=False (the reference's forced FastScan layout,
+    gamma_index_ivfpqfs.cc:146) through the sharded body."""
+    from gamma_tpu.index.ivfpq_fastscan import IVFPQFastScanIndex
+    store = RawVectorStore("vecfr", corpus_medium.shape[1])
+    store.add(corpus_medium)
+    store.flush_device()
+    fs = IVFPQFastScanIndex(store, {"ncentroids": 64, "nsubvector": 8,
+                                    "nprobe": 16, "by_residual": False})
+    fs.train(corpus_medium)
+    n = corpus_medium.shape[0]
+    ids = np.arange(n, dtype=np.int64)
+    fs.add(corpus_medium, ids, ids)
+
+    mesh = build_mesh(n_list_shards=8, n_query_shards=1)
+    sh = shard_ivfpq(mesh, fs.state, fs.centroids, fs.cent_norms,
+                     fs.pq, store.device)
+    penalty = jnp.zeros(store.n + 64, jnp.float32)
+    q = jnp.asarray(rng.normal(size=(8, store.d)).astype(np.float32))
+    search = sharded_ivfpq_search_fn(
+        mesh, nprobe=16, recall_num=64, k=10, metric="l2",
+        rerank=True, local_probe=16, v_per_shard=sh.v_per_shard,
+        packed=True, by_residual=False)
+    sd, sdoc, _ = jax.tree.map(np.asarray, search(sh, q, penalty))
+    rd, rdoc, _ = jax.tree.map(np.asarray, ivf_scan.ivfpqfs_search(
+        fs.state, fs.centroids, fs.cent_norms, fs.pq, q, penalty,
+        store.device, nprobe=16, recall_num=64, k=10,
+        metric="l2", rerank=True, by_residual=False))
+    np.testing.assert_allclose(sd, rd, rtol=1e-4, atol=1e-3)
+    agree = (sdoc == rdoc).mean()
+    assert agree > 0.95, f"docid agreement {agree}"
