@@ -184,6 +184,12 @@ class IVFPQParams:
     # scan, no rerank — ops/pallas_gsq.py) | "pq" (M-byte ADC scan, the
     # extreme-capacity format); "" → the model's default
     gather_payload: str = ""
+    # extra split-biggest k-means rounds bounding the longest inverted
+    # list near the mean (ops/kmeans._rebalance).  The longest list sets
+    # the posting cap AND the per-probe scan width (cap_eff): at the 10M
+    # geometry the default's 3x-mean max list tripled the gather-tier
+    # scan cost (experiments/exp_tenm.py)
+    train_rebalance: int = 2
 
     @staticmethod
     def from_dict(d: Optional[Dict[str, Any]]) -> "IVFPQParams":
@@ -206,6 +212,8 @@ class IVFPQParams:
         p.training_threshold = int(d.get("training_threshold", 0))
         p.scan_mode = str(d.get("scan_mode", "auto"))
         p.gather_payload = str(d.get("gather_payload", ""))
+        p.train_rebalance = int(d.get("train_rebalance",
+                                      p.train_rebalance))
         # the reference accepts an "hnsw" sub-object selecting an HNSW
         # coarse quantizer (gamma_index_ivfpq.cc:146-156 via the params'
         # GetObject("hnsw")).  This engine SUBSTITUTES flat MXU assign
@@ -237,6 +245,12 @@ class SearchParams:
     scan_mode: Optional[str] = None    # per-request "dense"/"gather" override
     recall_target: float = 0.95        # ApproxTopK coarse recall (dense mode)
     ef_search: Optional[int] = None    # HNSW beam width (reference: efSearch)
+    # SQ8 capacity tier: rerank the top-recall_num exact-SQ candidates
+    # against the raw store mirror (recovers the ~0.3 pt quantization
+    # misrank at 10M-scale near-tie density, experiments/exp_tenm.py).
+    # Off by default: the tier's point is rerank-free serving, and the
+    # mirror may not be resident at capacity scales.
+    sq_rerank: bool = False
 
     @staticmethod
     def from_dict(d: Optional[Dict[str, Any]]) -> "SearchParams":
@@ -261,4 +275,5 @@ class SearchParams:
         p.recall_target = float(d.get("recall_target", p.recall_target))
         if "efSearch" in d or "ef_search" in d:
             p.ef_search = int(d.get("efSearch", d.get("ef_search")))
+        p.sq_rerank = bool(d.get("sq_rerank", False))
         return p

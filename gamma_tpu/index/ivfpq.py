@@ -411,7 +411,8 @@ class IVFPQIndex(RetrievalModel):
                                if len(coarse) > 1 and coarse[1] is not None
                                else l2_norms(cents))
         else:
-            cents, _ = km.kmeans(xd, self.p.ncentroids, iters=10, seed=0)
+            cents, _ = km.kmeans(xd, self.p.ncentroids, iters=10, seed=0,
+                                 rebalance=self.p.train_rebalance)
             self.centroids = cents
             self.cent_norms = l2_norms(cents)
         assign = _assign_chunked(xd, cents, self.cent_norms)
@@ -1006,14 +1007,26 @@ class IVFPQIndex(RetrievalModel):
                      else "xla")
         if self.sq_active:
             # residual-SQ8 exact scan: top-k straight out of the select,
-            # no recall heap, no rerank row gather (ops/pallas_gsq.py)
+            # no recall heap, no rerank row gather (ops/pallas_gsq.py).
+            # sp.sq_rerank opts into an exact-rerank stage against the
+            # store mirror (the 10M tier: recovers the ~0.3 pt SQ8
+            # near-tie misrank, experiments/exp_tenm.py) — it needs the
+            # mirror resident, so a released mirror falls back to the
+            # rerank-free scan rather than reranking against garbage.
             live_n = (None if validity_n is None
                       else self._live_n_scalar(validity_n))
+            do_rr = (sp.sq_rerank and sp.has_rank
+                     and self.store.tier != "disk"
+                     and not self.store.released)
             d_out, docs, vids = ivf_scan.ivfsq_search(
                 self.state, self.sq_codes, self.sq_norms, self.sq_scale,
                 self.sq_off, self.centroids, self.cent_norms, q, penalty,
-                dist_range, live_n, nprobe=nprobe, k=k, metric=metric,
-                scan_impl=scan_impl, cap_eff=self._cap_eff())
+                dist_range, live_n,
+                self.store.device if do_rr else None,
+                queries if do_rr else None,
+                nprobe=nprobe, k=k, metric=metric,
+                scan_impl=scan_impl, cap_eff=self._cap_eff(),
+                recall_num=recall_num if do_rr else 0, rerank=do_rr)
             return d_out, docs, vids
         return self._gather_exec(ivf_scan.ivfpq_search, q, queries,
                                  penalty, sp, k, recall_num, metric,

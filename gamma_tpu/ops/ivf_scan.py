@@ -469,7 +469,8 @@ def sq_raw_dist_xla(sq_codes, sq_norms, sq_scale, sq_off, centroids,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nprobe", "k", "metric", "scan_impl", "cap_eff"))
+    static_argnames=("nprobe", "k", "metric", "scan_impl", "cap_eff",
+                     "recall_num", "rerank"))
 def ivfsq_search(state: IVFState,             # posting ids/lens (codes unused)
                  sq_codes: jnp.ndarray,       # [nlist, cap, d_pad] u8
                  sq_norms: jnp.ndarray,       # [nlist, cap] f32
@@ -481,8 +482,11 @@ def ivfsq_search(state: IVFState,             # posting ids/lens (codes unused)
                  penalty: jnp.ndarray,        # [N_cap] f32
                  dist_range: Optional[jnp.ndarray] = None,   # [2] f32
                  live_n: Optional[jnp.ndarray] = None,       # scalar i32
+                 raw_vectors: Optional[jnp.ndarray] = None,  # [V, d]
+                 queries_raw: Optional[jnp.ndarray] = None,
                  *, nprobe: int, k: int, metric: str = "l2",
-                 scan_impl: str = "xla", cap_eff: int = 0):
+                 scan_impl: str = "xla", cap_eff: int = 0,
+                 recall_num: int = 0, rerank: bool = False):
     """Residual-SQ8 capacity search (ops/pallas_gsq.py): scan distances
     are EXACT distances to the int8-dequantized points, so top-k is
     selected directly — no recall_num heap, no exact-rerank row gather
@@ -536,12 +540,25 @@ def ivfsq_search(state: IVFState,             # posting ids/lens (codes unused)
 
     # exact=True select: full sort up to EXACT_SORT_MAX_WIDTH (2^17)
     # candidates; beyond that, _select_late switches to a near-exact
-    # approx_min_k candidate POOL (>=16x k) + exact resort (~1e-4 miss
-    # rate).  Either way ApproxTopK's direct bin-collision loss
-    # (clustered true neighbors sharing a hot list alias into the same
-    # contiguous bins; measured -2pts) is not paid at top-k itself.
-    return _select_late(dist, list_ids, state.docids, state.vids,
-                        cap, k, exact=True)
+    # approx_min_k candidate POOL + exact resort.  Either way
+    # ApproxTopK's direct bin-collision loss (clustered true neighbors
+    # sharing a hot list alias into the same contiguous bins; measured
+    # -2pts) is not paid at top-k itself.
+    if not rerank:
+        return _select_late(dist, list_ids, state.docids, state.vids,
+                            cap, k, exact=True)
+    # optional exact rerank (the 10M capacity tier's operating point):
+    # SQ8 distances are exact to the QUANTIZED point, which misranks
+    # ~0.3 pts of near-ties at 10M density (exp_tenm.py: exact-select
+    # ceiling 0.9891 vs the dense tier's 0.9918).  Selecting a top-R
+    # candidate set and reranking against the bf16 store mirror
+    # recovers the dense tier's ordering at ~R rows of gather per query.
+    rn = max(recall_num or 8 * k, k)
+    rd, rdoc, rvid = _select_late(dist, list_ids, state.docids,
+                                  state.vids, cap, rn, exact=True)
+    qr = queries if queries_raw is None else queries_raw
+    return _rerank(qr, rd, rdoc, rvid, raw_vectors, penalty, k, metric,
+                   dist_range)
 
 
 # ---------------------------------------------------------------------

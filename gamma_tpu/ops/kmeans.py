@@ -155,7 +155,8 @@ def kmeans_fit(x: jnp.ndarray, init: jnp.ndarray, *, k: int,
     return cents, counts
 
 
-def kmeans(x, k: int, *, iters: int = 10, seed: int = 0, chunk: int = 4096):
+def kmeans(x, k: int, *, iters: int = 10, seed: int = 0,
+           chunk: int = 4096, rebalance: int = 2):
     """Convenience wrapper: random-subset init (same policy as faiss) then fit."""
     n = x.shape[0]
     key = jax.random.PRNGKey(seed)
@@ -164,7 +165,8 @@ def kmeans(x, k: int, *, iters: int = 10, seed: int = 0, chunk: int = 4096):
     if k > n:  # degenerate; tile
         reps = -(-k // n)
         init = jnp.tile(x.astype(jnp.float32), (reps, 1))[:k]
-    return kmeans_fit(x, init, k=k, iters=iters, chunk=chunk)
+    return kmeans_fit(x, init, k=k, iters=iters, chunk=chunk,
+                      rebalance=rebalance)
 
 
 # ---------------- batched (PQ) variant ----------------

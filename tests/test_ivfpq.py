@@ -548,3 +548,40 @@ def test_released_mirror_guard(rng_mod):
     store.flush_device()
     assert not store.released
     idx.search(q, pen, SearchParams.from_dict({"scan_mode": "dense"}), 5)
+
+
+def test_sq_rerank_path(built, rng_mod):
+    """sp.sq_rerank engages an exact rerank on the SQ8 tier: distances
+    come out f32-exact against the mirror rows and recall can only
+    improve vs the rerank-free scan."""
+    x, store, idx, pen = built
+    assert idx.sq_active
+    q = jnp.asarray(x[:16])
+    sp0 = SearchParams.from_dict({"scan_mode": "gather",
+                                  "recall_num": 64})
+    sp1 = SearchParams.from_dict({"scan_mode": "gather",
+                                  "recall_num": 64, "sq_rerank": True})
+    d0, docs0, _ = idx.search(q, pen, sp0, 10)
+    d1, docs1, _ = idx.search(q, pen, sp1, 10)
+    docs0, docs1 = np.asarray(docs0), np.asarray(docs1)
+    # self-retrieval survives both
+    assert (docs1[:, 0] == np.arange(16)).mean() >= 0.9
+    # reranked distances are exact distances to the mirror rows
+    rows = store.header(0, store.n)
+    d1 = np.asarray(d1)
+    for i in range(4):
+        ref = np.sum((x[i].astype(np.float64)
+                      - rows[docs1[i, 0]].astype(np.float64)) ** 2)
+        np.testing.assert_allclose(d1[i, 0], ref, rtol=2e-2, atol=1e-2)
+    # heavy overlap with the rerank-free tier (both near-exact)
+    ov = np.mean([len(set(docs0[i]) & set(docs1[i])) / 10
+                  for i in range(16)])
+    assert ov >= 0.85, ov
+    # a released mirror falls back to the rerank-free scan, not garbage
+    import copy
+    idx2 = copy.copy(idx)
+    st2 = copy.copy(store)
+    idx2.store = st2
+    st2.released = True
+    d2, docs2, _ = idx2.search(q, pen, sp1, 10)
+    assert (np.asarray(docs2)[:, 0] == np.arange(16)).mean() >= 0.9
