@@ -32,8 +32,11 @@ from gamma_tpu.ops import pq as pq_ops
 from gamma_tpu.ops.distances import pairwise_l2, pairwise_ip, l2_norms, BIG
 
 # Widest [B, P*cap] candidate axis the exact select full-sorts; wider
-# goes through an approx candidate pool + exact resort (_select_late).
-EXACT_SORT_MAX_WIDTH = 1 << 17
+# goes through the chunked-min prefilter + exact resort (_select_late).
+EXACT_SORT_MAX_WIDTH = 1 << 14
+# chunked-min prefilter target width: the exact phase-2 top-k runs over
+# ~this many chunk winners per query
+CHUNK_SELECT_TARGET = 24576
 from gamma_tpu.ops.topk import topk_min
 from gamma_tpu.realtime.invert_index import IVFState
 
@@ -116,6 +119,43 @@ def _trim_state(state: IVFState, cap_eff: int) -> IVFState:
                           docids=state.docids[:, :cap_eff])
 
 
+def _chunkmin_topk(flat: jnp.ndarray, rn: int) -> Tuple[jnp.ndarray,
+                                                        jnp.ndarray]:
+    """Near-exact wide top-k: g-wide chunk-min prefilter (one VPU pass)
+    + EXACT top-rn over the ~CHUNK_SELECT_TARGET chunk winners.
+
+    This replaces jax.lax.approx_min_k on wide candidate axes
+    (experiments/exp_tenm{,2}.py, 10M geometry): ApproxTopK's bin count
+    at recall_target=0.99 left contiguous bins of ~400 slots — true
+    neighbors sharing a hot inverted list collided and cost 1.5-2 recall
+    points — while recall_target=0.999 degenerated to full-sort speed
+    (5,010 → 970 QPS at B=512).  Chunk-min makes the bin count explicit
+    and keeps phase 2 exact: only g ADJACENT slots share a winner, so a
+    true top-k member is lost only to a strictly-better candidate within
+    g slots of the SAME list (g ≤ 64; measured recall matches the exact
+    sort to ~0.1-0.3 pts at one-tenth its cost)."""
+    b, width = flat.shape
+    g = 4
+    while width // g > CHUNK_SELECT_TARGET and g < 64:
+        g *= 2
+    wpad = -(-width // g) * g
+    if wpad != width:
+        flat = jnp.pad(flat, ((0, 0), (0, wpad - width)),
+                       constant_values=BIG)
+    ch = flat.reshape(b, wpad // g, g)
+    cmin = jnp.min(ch, axis=-1)                       # [B, L] one pass
+    k_eff = min(rn, wpad // g)
+    nd, pos = jax.lax.top_k(-cmin, k_eff)
+    # within-chunk winner offsets recovered POST-selection: gather the
+    # k_eff selected chunks' g candidates ([B, rn, g] — trivial) instead
+    # of a full-width argmin pass
+    sel = jnp.take_along_axis(
+        ch, pos[:, :, None].astype(jnp.int32), axis=1)  # [B, rn, g]
+    j = jnp.argmin(sel, axis=-1).astype(jnp.int32)
+    ridx = pos.astype(jnp.int32) * g + j
+    return -nd, ridx
+
+
 def _select_late(dist, list_ids, docids, vids, cap, recall_num,
                  exact: bool = False):
     """Candidate select with LATE id materialization: top-k runs on the
@@ -125,21 +165,18 @@ def _select_late(dist, list_ids, docids, vids, cap, recall_num,
     10M geometry (cap ~16k) those gathers are ~4 GB of HBM traffic per
     batch that this removes entirely.
 
-    exact=True picks the selection by width (measured on v5e at the 1M
-    bench geometry, B=1024 P=64 cap=1024, experiments/exp_bias_ab.py):
+    Width policy (measured on v5e, experiments/exp_bias_ab.py +
+    exp_tenm2.py):
 
-      width <= 2^17   ONE full top-k over [B, P*cap] — exact.  8.2 ms;
-                      the per-probe two-stage variant (top-r over the
-                      cap axis of [B, P, cap], then a global merge) was
-                      28.2 ms — lax.top_k pays per ROW, so 65536 rows
-                      of 1024 cost ~3x one 1024-row sort of 65536 —
-                      and its [B, P, r] sort transients are what OOM'd
-                      the 10M gather phase.
-      wider           approx_min_k candidate POOL (>= 16x recall_num)
-                      + exact resort of the pool: near-exact (the pool
-                      only misses a true top-r on an ApproxTopK bin
-                      collision among the pool's extremes, ~1e-4 at
-                      pool=16r), O(width) with tiny transients."""
+      width <= 2^14   ONE full top-k over [B, P*cap] — exact.
+      wider           chunked-min prefilter + exact top-rn of the chunk
+                      winners (_chunkmin_topk) — near-exact, O(width)
+                      with tiny transients, and strictly better than
+                      the previous approx_min_k pool on clustered lists
+                      (contiguous-bin collisions).  `exact` now only
+                      gates nothing here; both branches share the
+                      chunked path (kept as a parameter for call-site
+                      documentation and future policy splits)."""
     b, p = list_ids.shape
     width = p * cap
 
@@ -153,37 +190,19 @@ def _select_late(dist, list_ids, docids, vids, cap, recall_num,
         rvid = jnp.take(vids.reshape(-1), lin)
         return rdoc, rvid
 
-    if exact and width > EXACT_SORT_MAX_WIDTH:
-        flat = dist.reshape(b, -1)
-        pool = min(width, max(16 * recall_num, 256))
-        vd, vi = jax.lax.approx_min_k(flat, pool, recall_target=0.99)
-        k_eff = min(recall_num, pool)
-        nd, pos = jax.lax.top_k(-vd, k_eff)
-        rd = -nd
-        rdoc, rvid = _ids_from(jnp.take_along_axis(vi, pos, axis=1))
-        if k_eff < recall_num:
-            padw = recall_num - k_eff
-            rd = jnp.pad(rd, ((0, 0), (0, padw)), constant_values=BIG)
-            rdoc = jnp.pad(rdoc, ((0, 0), (0, padw)), constant_values=-1)
-            rvid = jnp.pad(rvid, ((0, 0), (0, padw)), constant_values=-1)
-    elif not exact and width > 16384:
-        # ApproxTopK custom call — see _select_candidates for why the
-        # flatten stays probe-major (cap-major aliasing halved recall)
-        flat = dist.reshape(b, -1)
-        rd, ridx = jax.lax.approx_min_k(flat, recall_num,
-                                        recall_target=0.99)
-        rdoc, rvid = _ids_from(ridx)
+    flat = dist.reshape(b, -1)
+    if width > EXACT_SORT_MAX_WIDTH:
+        rd, ridx = _chunkmin_topk(flat, recall_num)
     else:
-        flat = dist.reshape(b, -1)
         k_eff = min(recall_num, width)
         nd, ridx = jax.lax.top_k(-flat, k_eff)
         rd = -nd
-        rdoc, rvid = _ids_from(ridx)
-        if k_eff < recall_num:
-            padw = recall_num - k_eff
-            rd = jnp.pad(rd, ((0, 0), (0, padw)), constant_values=BIG)
-            rdoc = jnp.pad(rdoc, ((0, 0), (0, padw)), constant_values=-1)
-            rvid = jnp.pad(rvid, ((0, 0), (0, padw)), constant_values=-1)
+    rdoc, rvid = _ids_from(ridx)
+    if rd.shape[1] < recall_num:
+        padw = recall_num - rd.shape[1]
+        rd = jnp.pad(rd, ((0, 0), (0, padw)), constant_values=BIG)
+        rdoc = jnp.pad(rdoc, ((0, 0), (0, padw)), constant_values=-1)
+        rvid = jnp.pad(rvid, ((0, 0), (0, padw)), constant_values=-1)
     dead = rd >= BIG
     return rd, jnp.where(dead, -1, rdoc), jnp.where(dead, -1, rvid)
 
@@ -196,16 +215,14 @@ def _select_candidates(dist, docids_g, vids_g, recall_num,
     doc_f = docids_g.reshape(b, -1)
     vid_f = vids_g.reshape(b, -1)
     if width > 16384 and not exact:
-        # ApproxTopK custom call: the exact lax.top_k sort over the
-        # [B, P*cap] candidate axis costs ~30x the ADC kernel at the
-        # SIFT1M gather geometry.  Keep the PROBE-MAJOR flatten: within
-        # a list, positions are insertion-ordered (not distance-
-        # ordered), so a hot list's true neighbors occupy many distinct
-        # bin positions; a measured cap-major transpose ALIASED each
-        # list onto few bins (P-strided) and halved recall.  The exact
-        # rerank downstream absorbs the residual approximation.
-        rd, ridx = jax.lax.approx_min_k(flat, recall_num,
-                                        recall_target=0.99)
+        # chunked-min prefilter + exact resort (see _chunkmin_topk): the
+        # exact lax.top_k sort over the [B, P*cap] candidate axis costs
+        # ~30x the ADC kernel at the SIFT1M gather geometry, and
+        # approx_min_k's contiguous bins collide clustered true
+        # neighbors.  Keep the PROBE-MAJOR flatten: within a list,
+        # positions are insertion-ordered (not distance-ordered), so a
+        # hot list's true neighbors occupy many distinct chunks.
+        rd, ridx = _chunkmin_topk(flat, recall_num)
     else:
         ids = jnp.broadcast_to(
             jnp.arange(width, dtype=jnp.int32)[None, :], flat.shape)
