@@ -1140,9 +1140,13 @@ def main():
             # (gather_payload="pq"), and the capacity phase drops the
             # recon mirror FIRST, then promotes via build_sq_sidecar()
             # — the mirror and the sidecar never coexist.
+            # train_rebalance=6: extra split-biggest k-means rounds —
+            # the longest list sets cap_eff (the per-probe scan width
+            # AND the [G, Q, cap] grouped-scan buffer); default balance
+            # left max_len at 3x the mean at 10M (exp_tenm.py)
             idx10 = IVFPQIndex(store10, {
                 "ncentroids": nlist, "nsubvector": m, "nprobe": nprobe,
-                "gather_payload": "pq",
+                "gather_payload": "pq", "train_rebalance": 6,
                 "bucket_init_size": max(1024, 3 * n10 // nlist)})
             assert not idx10.sq_active
             t0 = time.time()
@@ -1215,18 +1219,20 @@ def main():
                 log(f"10M SQ8 sidecar promotion: {time.time()-t0:.1f}s "
                     f"(active={sq_ok})")
             if idx10.sq_active:
-                # the SQ8 tier reads NOTHING from the dense bf16 mirror
-                # (exact distances come from the sidecar; no rerank row
-                # gather) — dropping it frees 2.6 GB for scan transients
-                # (the r4 gather-phase RESOURCE_EXHAUSTED headroom)
-                store10.release_device()
+                # KEEP the bf16 store mirror (2.6 GB): sq_rerank reads
+                # it — the exact-rerank stage recovers the ~0.5 pt of
+                # SQ8 near-tie misrank at 10M density AND the select's
+                # residual chunk-collision loss (exp_tenm2/3: 0.9941 vs
+                # 0.9785 rerank-free at the r4 pool select).  The recon
+                # mirror stays released; HBM peak at B=512 ≈ 14 GB.
                 head = hbm_headroom_gb()
                 ce10 = idx10._cap_eff()
                 log(f"10M gather setup: cap_eff={ce10}, "
                     f"headroom={'?' if head is None else f'{head:.1f}'} GB")
                 sp_g10 = SearchParams.from_dict({
                     "scan_mode": "gather", "nprobe": nprobe,
-                    "recall_num": recall_num, "has_rank": True})
+                    "recall_num": recall_num, "has_rank": True,
+                    "sq_rerank": True})
 
                 def run_g10(qb):
                     return idx10.search(qb, pen10, sp_g10, k,
@@ -1241,15 +1247,15 @@ def main():
                     len(set(found_g10[i].tolist())
                         & set(gt10[i].tolist())) / k
                     for i in range(nq10)]))
-                # the scan transient is [B, P, cap_eff] f32: batch 1024
-                # (the grouped kernel's operating point) fits when the
-                # watermark ladder is <= 8192, else fall back to 512
-                bg10 = 1024 if ce10 <= 8192 else 512
+                # batch 512: the [G, Q, cap_eff] grouped buffer + the
+                # kept bf16 mirror cap the batch (B=1024 needs ~13 GB
+                # for the buffer alone at cap_eff ~12k)
+                bg10 = 1024 if ce10 <= 6144 else 512
                 qbg10 = qd10[np.arange(bg10) % nq10]
                 jax.block_until_ready(run_g10(qbg10))
                 gqps10 = measure_qps(lambda: run_g10(qbg10), iters=5,
                                      reps=2, rows=bg10)
-                log(f"10M gather (SQ8, no dense mirror): {gqps10:,.0f} "
+                log(f"10M gather (SQ8 + exact rerank): {gqps10:,.0f} "
                     f"QPS @ recall@10 {rec_g10:.4f} (batch {bg10})")
                 tenm["gather_qps"] = round(gqps10, 1)
                 tenm["gather_recall_at_10"] = round(rec_g10, 4)

@@ -125,15 +125,20 @@ def _chunkmin_topk(flat: jnp.ndarray, rn: int) -> Tuple[jnp.ndarray,
     + EXACT top-rn over the ~CHUNK_SELECT_TARGET chunk winners.
 
     This replaces jax.lax.approx_min_k on wide candidate axes
-    (experiments/exp_tenm{,2}.py, 10M geometry): ApproxTopK's bin count
-    at recall_target=0.99 left contiguous bins of ~400 slots — true
-    neighbors sharing a hot inverted list collided and cost 1.5-2 recall
-    points — while recall_target=0.999 degenerated to full-sort speed
-    (5,010 → 970 QPS at B=512).  Chunk-min makes the bin count explicit
-    and keeps phase 2 exact: only g ADJACENT slots share a winner, so a
-    true top-k member is lost only to a strictly-better candidate within
-    g slots of the SAME list (g ≤ 64; measured recall matches the exact
-    sort to ~0.1-0.3 pts at one-tenth its cost)."""
+    (experiments/exp_tenm{,2,3}.py, 10M geometry): ApproxTopK's bin
+    reduction at recall_target=0.99 cost 1.5-2 recall points on
+    clustered lists, while recall_target=0.999 degenerated to full-sort
+    speed (5,010 → 970 QPS at B=512).
+
+    The bins are STRIDED, not contiguous: bin c holds flat elements
+    {c, c+L, c+2L, ...}.  A query's true top-k concentrate inside one
+    or two hot inverted lists (adjacent slots of one probe block in the
+    probe-major flatten), and two slots of the same probed list sit
+    < cap ≤ L apart — a strided bin can never hold both, so same-list
+    near-ties survive phase 1 by construction.  (The contiguous variant
+    measured 0.9711 vs the strided form's exact-matching recall at the
+    10M geometry — exp_tenm3.)  Phase 2 is an exact top-rn over the L
+    bin winners + post-selection recovery of within-bin offsets."""
     b, width = flat.shape
     g = 4
     while width // g > CHUNK_SELECT_TARGET and g < 64:
@@ -142,17 +147,18 @@ def _chunkmin_topk(flat: jnp.ndarray, rn: int) -> Tuple[jnp.ndarray,
     if wpad != width:
         flat = jnp.pad(flat, ((0, 0), (0, wpad - width)),
                        constant_values=BIG)
-    ch = flat.reshape(b, wpad // g, g)
-    cmin = jnp.min(ch, axis=-1)                       # [B, L] one pass
-    k_eff = min(rn, wpad // g)
+    ell = wpad // g
+    ch = flat.reshape(b, g, ell)
+    cmin = jnp.min(ch, axis=1)                        # [B, L] one pass
+    k_eff = min(rn, ell)
     nd, pos = jax.lax.top_k(-cmin, k_eff)
-    # within-chunk winner offsets recovered POST-selection: gather the
-    # k_eff selected chunks' g candidates ([B, rn, g] — trivial) instead
+    # within-bin winner offsets recovered POST-selection: gather the
+    # k_eff selected bins' g candidates ([B, rn, g] — trivial) instead
     # of a full-width argmin pass
     sel = jnp.take_along_axis(
-        ch, pos[:, :, None].astype(jnp.int32), axis=1)  # [B, rn, g]
-    j = jnp.argmin(sel, axis=-1).astype(jnp.int32)
-    ridx = pos.astype(jnp.int32) * g + j
+        ch, pos[:, None, :].astype(jnp.int32), axis=2)  # [B, g, rn]
+    j = jnp.argmin(sel, axis=1).astype(jnp.int32)       # [B, rn]
+    ridx = j * ell + pos.astype(jnp.int32)
     return -nd, ridx
 
 

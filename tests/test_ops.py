@@ -105,3 +105,27 @@ def test_flat_search_respects_penalty(rng):
                          jnp.asarray(q), jnp.asarray(pen), k=5)
     got = np.asarray(ids)
     assert not (got[:, 0] == np.arange(3)).any()
+
+
+def test_chunkmin_topk_indices_and_containment():
+    """_chunkmin_topk: returned values match flat[ridx]; strided bins
+    keep near-contiguous true winners (same-list adjacency) intact."""
+    import jax.numpy as jnp
+    from gamma_tpu.ops.ivf_scan import _chunkmin_topk
+    rng = np.random.default_rng(3)
+    b, w, rn = 8, 200_000, 64
+    flat = rng.normal(size=(b, w)).astype(np.float32)
+    # plant adjacent extreme winners (hot-list near-ties): contiguous
+    # chunking would collide them, strided bins must keep all
+    for i in range(b):
+        s = rng.integers(0, w - 40)
+        flat[i, s: s + 12] = -100 - rng.random(12).astype(np.float32)
+    rd, ridx = _chunkmin_topk(jnp.asarray(flat), rn)
+    rd, ridx = np.asarray(rd), np.asarray(ridx)
+    np.testing.assert_allclose(rd, np.take_along_axis(flat, ridx, 1))
+    got = {tuple(sorted(ridx[i][:12])) for i in range(b)}
+    for i in range(b):
+        exact = set(np.argsort(flat[i])[:12].tolist())
+        assert exact <= set(ridx[i].tolist()), (i, exact - set(ridx[i]))
+    # and monotone ascending prefix
+    assert np.all(np.diff(rd[:, :12], axis=1) >= -1e-6)
