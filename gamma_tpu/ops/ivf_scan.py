@@ -541,6 +541,49 @@ def ivfsq_search(state: IVFState,             # posting ids/lens (codes unused)
                        penalty=penalty, live_n=live_n)    # [nlist, cap]
     fuse_bias = dist_range is None
 
+    # wide-cap fast path: the kernel folds the select's phase 1 (strided
+    # per-bin min/argmin) so the grouped output and ungroup gather
+    # shrink fold-x — at the 10M geometry (cap_eff ~12k) the raw
+    # [G, Q, cap] buffer + its regather were the HBM wall
+    # (experiments/exp_tenm4.py).  Needs the fused mask (no dist_range).
+    fold = 8 if (scan_impl == "pallas" and fuse_bias
+                 and cap >= 4096) else 1
+    if fold > 1:
+        from gamma_tpu.ops.pallas_gsq import (fold_geometry,
+                                              grouped_sq_scan)
+        tile_eff, lb = fold_geometry(cap, 4096, fold)
+        dist_f, args_f = grouped_sq_scan(
+            sq_codes, sq_norms, state.lens, list_ids, queries,
+            sq_scale, sq_off, centroids=centroids, metric=metric,
+            bias=bias_l, fold=fold, tile=tile_eff)
+        dist_f = jnp.minimum(dist_f, BIG)     # [B, P, cap//fold]
+        capf = cap // fold
+        b = queries.shape[0]
+        flat = dist_f.reshape(b, -1)
+        rn = max(recall_num, k) if rerank else k
+        if flat.shape[1] > EXACT_SORT_MAX_WIDTH:
+            rd, ridx = _chunkmin_topk(flat, rn)
+        else:
+            nd, ridx = jax.lax.top_k(-flat, min(rn, flat.shape[1]))
+            rd = -nd
+        pidx = ridx // capf
+        fidx = ridx % capf
+        arg_sel = jnp.take_along_axis(args_f.reshape(b, -1), ridx,
+                                      axis=1)
+        slot = (fidx // lb) * tile_eff + arg_sel * lb + (fidx % lb)
+        lst = jnp.take_along_axis(list_ids, pidx, axis=1)
+        lin = lst * cap + slot
+        rdoc = jnp.take(state.docids.reshape(-1), lin)
+        rvid = jnp.take(state.vids.reshape(-1), lin)
+        dead = rd >= BIG
+        rdoc = jnp.where(dead, -1, rdoc)
+        rvid = jnp.where(dead, -1, rvid)
+        if not rerank:
+            return topk_like(rd, rdoc, rvid, k)
+        qr = queries if queries_raw is None else queries_raw
+        return _rerank(qr, rd, rdoc, rvid, raw_vectors, penalty, k,
+                       metric, dist_range)
+
     if scan_impl == "pallas":
         from gamma_tpu.ops.pallas_gsq import grouped_sq_scan
         raw_dist = grouped_sq_scan(sq_codes, sq_norms, state.lens,

@@ -132,6 +132,103 @@ def _gsq_kernel(glist_ref, ntiles_ref,           # scalar prefetch
             out_ref[0] = jnp.zeros_like(out_ref[0])
 
 
+def _gsq_fold_kernel(glist_ref, ntiles_ref,      # scalar prefetch
+                     codes_ref,                  # [1, TILE, d] u8
+                     nrm_ref,                    # [1, 1, TILE] f32
+                     qs_ref,                     # [1, Q, d] bf16/f32
+                     out_ref,                    # [1, Q, TILE//fold] f32
+                     arg_ref,                    # [1, Q, TILE//fold] i32
+                     *, alpha: float, precise: bool, fold: int):
+    """Folded variant: emits per-bin (min, argmin) over `fold` STRIDED
+    slots instead of raw [Q, TILE] distances — the select's phase 1
+    runs inside the kernel, shrinking the grouped output (and the
+    ungroup gather downstream) fold-x.  Bin c of a tile holds slots
+    {c, c+TILE/fold, ...}: strided, so same-list near-ties (adjacent
+    slots) collide only with probability fold/TILE per pair (see
+    ops/ivf_scan._chunkmin_topk for why contiguous bins are wrong).
+    Requires the mask bias fused into nrm (masked mode): callers cannot
+    re-mask individual slots after the fold."""
+    g = pl.program_id(0)
+    t = pl.program_id(1)
+    nt = ntiles_ref[g]
+
+    @pl.when(t < nt)
+    def _scan():
+        ct = jnp.float32 if precise else jnp.bfloat16
+        c = codes_ref[0].astype(jnp.int32).astype(ct)    # [TILE, d]
+        ip = jax.lax.dot_general(
+            qs_ref[0], c,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [Q, TILE]
+        dist = nrm_ref[0] - alpha * ip
+        q, tile_n = dist.shape
+        lb = tile_n // fold
+        # unrolled strided min/argmin (Mosaic-safe: static fold <= 16)
+        vals = dist[:, :lb]
+        args = jnp.zeros((q, lb), jnp.int32)
+        for j in range(1, fold):
+            dj = dist[:, j * lb:(j + 1) * lb]
+            m = dj < vals
+            vals = jnp.where(m, dj, vals)
+            args = jnp.where(m, j, args)
+        out_ref[0] = vals
+        arg_ref[0] = args
+
+    @pl.when(t >= nt)
+    def _skip():
+        # folded mode always runs masked: a skipped tile is entirely
+        # beyond the list's live length → all-BIG bias
+        out_ref[0] = jnp.broadcast_to(
+            jnp.max(nrm_ref[0]), out_ref.shape[1:])
+        arg_ref[0] = jnp.zeros_like(arg_ref[0])
+
+
+def fold_geometry(cap: int, tile: int, fold: int):
+    """The folded kernel's effective (tile, lb): callers reconstruct
+    original slots as (fidx // lb) * tile + arg * lb + (fidx % lb), so
+    they must derive the SAME tile the kernel used."""
+    tile = min(tile, cap)
+    if cap % tile:
+        tile = cap
+    assert tile % fold == 0, (tile, fold)
+    return tile, tile // fold
+
+
+def _gsq_fold_call(codes, norms3, glist, ntiles, qs, *, q_pad: int,
+                   tile: int, alpha: float, precise: bool, fold: int,
+                   interpret: bool):
+    g_pad = glist.shape[0]
+    nlist, cap, d = codes.shape
+    tile, lb = fold_geometry(cap, tile, fold)
+    n_tiles = cap // tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(g_pad, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, d),
+                         lambda g, t, gl, nt: (gl[g], t, 0)),
+            pl.BlockSpec((1, 1, tile),
+                         lambda g, t, gl, nt: (gl[g], 0, t)),
+            pl.BlockSpec((1, q_pad, d),
+                         lambda g, t, gl, nt: (g, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, q_pad, lb), lambda g, t, gl, nt: (g, 0, t)),
+            pl.BlockSpec((1, q_pad, lb), lambda g, t, gl, nt: (g, 0, t)),
+        ],
+    )
+    kern = functools.partial(_gsq_fold_kernel, alpha=alpha,
+                             precise=precise, fold=fold)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((g_pad, q_pad, cap // fold), jnp.float32),
+            jax.ShapeDtypeStruct((g_pad, q_pad, cap // fold), jnp.int32),
+        ],
+        interpret=interpret,
+    )(glist, ntiles, codes, norms3, qs)
+
+
 def _gsq_call(codes, norms3, glist, ntiles, qs, *, q_pad: int, tile: int,
               alpha: float, with_norms: bool, precise: bool,
               interpret: bool, masked: bool = False):
@@ -176,7 +273,8 @@ def grouped_sq_scan(codes: jnp.ndarray,     # [nlist, cap, d_pad] u8
                     q_pad: Optional[int] = None,
                     tile: Optional[int] = None,
                     precise: bool = False,
-                    interpret: bool = False) -> jnp.ndarray:
+                    fold: int = 1,
+                    interpret: bool = False):
     """→ dist [B, P, cap] f32: for L2 the EXACT ||q - dequant(x)||^2;
     for IP the exact -q.dequant(x).  Without `bias`, tiles beyond a
     list's live length return +query-const only — callers must mask by
@@ -193,14 +291,24 @@ def grouped_sq_scan(codes: jnp.ndarray,     # [nlist, cap, d_pad] u8
     default (bf16) MXU precision on the ~|q||c|-magnitude cross term
     shifts cross-list comparisons by more than near-tie gaps (measured
     -1pt recall), and reconstructing it from the coarse L2 distances
-    hits the same cancellation."""
+    hits the same cancellation.
+
+    fold > 1 (requires `bias`): the kernel emits per-bin (min, argmin)
+    over `fold` strided slots — returns (dist [B, P, cap//fold],
+    args [B, P, cap//fold] i32) and the ORIGINAL slot of bin f is
+    (f // lb) * tile + args * lb + (f % lb) with lb = tile // fold.
+    This fuses the wide select's phase 1 into the scan: the grouped
+    output and ungroup gather shrink fold-x (the 10M tier's HBM wall,
+    experiments/exp_tenm4.py)."""
     b, p = list_ids.shape
     nlist, cap, d_pad = codes.shape
     d = queries.shape[1]
     if q_pad is None:
         q_pad = default_q_pad(b, p, nlist)
     if tile is None:
-        tile = 512
+        tile = 512 if fold <= 1 else 4096
+    if fold > 1:
+        tile, _ = fold_geometry(cap, tile, fold)
     g_pad = group_bound(b, p, nlist, q_pad)
 
     glist, ntiles, gpair, pair_gid, pair_slot = build_groups(
@@ -226,18 +334,36 @@ def grouped_sq_scan(codes: jnp.ndarray,     # [nlist, cap, d_pad] u8
     else:
         nrm_arr = norms
     norms3 = nrm_arr.reshape(nlist, 1, cap)
-    og = _gsq_call(codes, norms3, glist, ntiles, qs, q_pad=q_pad,
-                   tile=tile, alpha=alpha, with_norms=with_norms,
-                   precise=precise, interpret=interpret,
-                   masked=bias is not None)               # [G, Q, cap]
-    flat = og.reshape(g_pad * q_pad, cap)
-    out = jnp.take(flat, pair_gid * q_pad + pair_slot, axis=0
-                   ).reshape(b, p, cap)
+    args = None
+    if fold > 1:
+        assert bias is not None, "fold requires the fused mask bias"
+        og, oa = _gsq_fold_call(codes, norms3, glist, ntiles, qs,
+                                q_pad=q_pad, tile=tile, alpha=alpha,
+                                precise=precise, fold=fold,
+                                interpret=interpret)  # [G, Q, cap//fold]
+        capf = cap // fold
+        rows = pair_gid * q_pad + pair_slot
+        out = jnp.take(og.reshape(g_pad * q_pad, capf), rows, axis=0
+                       ).reshape(b, p, capf)
+        args = jnp.take(oa.reshape(g_pad * q_pad, capf), rows, axis=0
+                        ).reshape(b, p, capf)
+    else:
+        og = _gsq_call(codes, norms3, glist, ntiles, qs, q_pad=q_pad,
+                       tile=tile, alpha=alpha, with_norms=with_norms,
+                       precise=precise, interpret=interpret,
+                       masked=bias is not None)           # [G, Q, cap]
+        flat = og.reshape(g_pad * q_pad, cap)
+        out = jnp.take(flat, pair_gid * q_pad + pair_slot, axis=0
+                       ).reshape(b, p, cap)
+
+    def _done(o):
+        return o if args is None else (o, args)
+
     if centroids is None:
         if metric == "ip":
-            return out - qoff[:, None, None]
+            return _done(out - qoff[:, None, None])
         qn = jnp.sum(qf * qf, axis=-1)                   # [B]
-        return out + (qn - 2.0 * qoff)[:, None, None]
+        return _done(out + (qn - 2.0 * qoff)[:, None, None])
     # residual decode: add back the -alpha * q.c_list cross term
     qc_full = jax.lax.dot_general(
         qf, centroids.astype(jnp.float32),
@@ -245,6 +371,7 @@ def grouped_sq_scan(codes: jnp.ndarray,     # [nlist, cap, d_pad] u8
         precision=jax.lax.Precision.HIGHEST)             # [B, nlist]
     qc = jnp.take_along_axis(qc_full, list_ids, axis=1)  # [B, P]
     if metric == "ip":
-        return out - (qc + qoff[:, None])[..., None]
+        return _done(out - (qc + qoff[:, None])[..., None])
     qn = jnp.sum(qf * qf, axis=-1)                       # [B]
-    return out + (qn[:, None] - 2.0 * (qc + qoff[:, None]))[..., None]
+    return _done(out + (qn[:, None]
+                        - 2.0 * (qc + qoff[:, None]))[..., None])

