@@ -121,7 +121,19 @@ def main():
             f"plateau from nprobe = {sat} (reference: ≈25).  The QPS "
             f"column falls with nprobe (each probe scans a padded "
             f"list; the reference's flat QPS reflects CPU thread "
-            f"under-utilization at small nprobe, not scan cost).\n")
+            f"under-utilization at small nprobe, not scan cost).\n\n"
+            f"Honest read: the curve has the same saturating SHAPE as "
+            f"the reference's but saturates earlier — coarse "
+            f"assignment on this corpus is easier than real SIFT's "
+            f"(synthetic clusters are well-separated at the coarse "
+            f"level), so probe-coverage recall is not where its "
+            f"hardness lives.  Its hardness is near-tie DENSITY: at "
+            f"10M rows the quantization-ordering losses dominate "
+            f"(dense tier 0.9918, SQ8-without-rerank 0.9891, see "
+            f"experiments/exp_tenm*.py) — the regime the reference's "
+            f"rerank exists for (recall@1 0.9814 vs faiss-ivfpq's "
+            f"0.8201).  Recall claims in BENCH_r*.json should be read "
+            f"with both facts in mind.\n")
     print("wrote docs/nprobe_curve.md", flush=True)
     del idx
     import gc
