@@ -632,33 +632,66 @@ def ivfsq_search(state: IVFState,             # posting ids/lens (codes unused)
 # (reference: gamma_index_ivfflat.{h,cc} — full vectors as "codes")
 # ---------------------------------------------------------------------
 
+# Payload-gather transient budget for the exact-scan models: the
+# [Bc, P, cap, W] u8 gather materializes in HBM before the distance
+# fusion; one chip has ~16 GB, and at batch 1024 x nprobe 64 x cap 781
+# x 256 B the full-batch gather alone is 13 GB (it OOM'd the r5 bench).
+FLAT_GATHER_BYTES = 1 << 30
+
+
+def _batched_exact_scan(queries, chunk_fn, per_query_bytes):
+    """Run chunk_fn over query chunks sized to FLAT_GATHER_BYTES.
+    chunk_fn: [Bc, d] -> (rd [Bc, k], rdoc, rvid).  The chunk axis is a
+    lax.map (sequential) so only one chunk's gather transient is live at
+    a time; for small geometries this degenerates to one direct call."""
+    b = queries.shape[0]
+    bc = max(1, min(b, FLAT_GATHER_BYTES // max(per_query_bytes, 1)))
+    if bc >= 8:
+        bc = (bc // 8) * 8                      # sublane-aligned chunks
+    if bc >= b:
+        return chunk_fn(queries)
+    nchunk = -(-b // bc)
+    pad = nchunk * bc - b
+    qpad = jnp.pad(queries, ((0, pad), (0, 0))) if pad else queries
+    out = jax.lax.map(chunk_fn, qpad.reshape(nchunk, bc, -1))
+    return jax.tree.map(
+        lambda t: t.reshape(nchunk * bc, *t.shape[2:])[:b], out)
+
+
 @functools.partial(
     jax.jit, static_argnames=("nprobe", "k", "metric", "d"))
 def ivfflat_search(state: IVFState, centroids, cent_norms, queries,
                    penalty, dist_range=None, *, nprobe: int, k: int,
                    d: int, metric: str = "l2"):
     """Exact-distance IVF scan: posting payload = bf16 vector bytes."""
-    cd, list_ids = coarse_assign(queries, centroids, cent_norms,
-                                 nprobe, metric)
-    codes_g, vids_g, docids_g, lens_g = _gather_lists(state, list_ids)
-    b, p, cap, w = codes_g.shape
-    vecs = jax.lax.bitcast_convert_type(
-        codes_g.reshape(b, p, cap, d, 2), jnp.bfloat16
-    ).reshape(b, p, cap, d).astype(jnp.float32)
-    qf = queries.astype(jnp.float32)
-    if metric == "ip":
-        raw_dist = -jnp.einsum("bd,bpcd->bpc", qf, vecs,
-                               preferred_element_type=jnp.float32)
-    else:
-        diff = qf[:, None, None, :] - vecs
-        raw_dist = jnp.sum(diff * diff, axis=-1)
-    dist = raw_dist + _candidate_mask_penalty(docids_g, lens_g, cap,
-                                              penalty)
-    if dist_range is not None:
-        dist = jnp.where((raw_dist < dist_range[0])
-                         | (raw_dist > dist_range[1]), BIG, dist)
-    dist = jnp.minimum(dist, BIG)
-    return _select_candidates(dist, docids_g, vids_g, k)
+    cap, w = state.codes.shape[1], state.codes.shape[2]
+
+    def _chunk(qc):
+        cd, list_ids = coarse_assign(qc, centroids, cent_norms,
+                                     nprobe, metric)
+        codes_g, vids_g, docids_g, lens_g = _gather_lists(state, list_ids)
+        bcq = codes_g.shape[0]
+        vecs = jax.lax.bitcast_convert_type(
+            codes_g.reshape(bcq, nprobe, cap, d, 2), jnp.bfloat16
+        ).reshape(bcq, nprobe, cap, d).astype(jnp.float32)
+        qf = qc.astype(jnp.float32)
+        if metric == "ip":
+            raw_dist = -jnp.einsum("bd,bpcd->bpc", qf, vecs,
+                                   preferred_element_type=jnp.float32)
+        else:
+            diff = qf[:, None, None, :] - vecs
+            raw_dist = jnp.sum(diff * diff, axis=-1)
+        dist = raw_dist + _candidate_mask_penalty(docids_g, lens_g, cap,
+                                                  penalty)
+        if dist_range is not None:
+            dist = jnp.where((raw_dist < dist_range[0])
+                             | (raw_dist > dist_range[1]), BIG, dist)
+        dist = jnp.minimum(dist, BIG)
+        return _select_candidates(dist, docids_g, vids_g, k)
+
+    # gather transient per query: codes bytes + the f32 vecs expansion
+    per_q = nprobe * cap * (w + 4 * d)
+    return _batched_exact_scan(queries, _chunk, per_q)
 
 
 # ---------------------------------------------------------------------
@@ -678,17 +711,28 @@ def binary_ivf_search(state: IVFState, centroids_bits: jnp.ndarray,
         return jnp.sum(jax.lax.population_count(x).astype(jnp.int32),
                        axis=-1)
 
-    cdist = hamming(query_codes, centroids_bits).astype(jnp.float32)
-    ids = jnp.broadcast_to(
-        jnp.arange(centroids_bits.shape[0], dtype=jnp.int32)[None, :],
-        cdist.shape)
-    _, list_ids = topk_min(cdist, ids, nprobe)
+    cap, w = state.codes.shape[1], state.codes.shape[2]
 
-    codes_g, vids_g, docids_g, lens_g = _gather_lists(state, list_ids)
-    x = jnp.bitwise_xor(codes_g, query_codes[:, None, None, :])
-    dist = jnp.sum(jax.lax.population_count(x).astype(jnp.int32),
-                   axis=-1).astype(jnp.float32)
-    dist = dist + _candidate_mask_penalty(docids_g, lens_g, state.cap,
-                                          penalty)
-    dist = jnp.minimum(dist, BIG)
-    return _select_candidates(dist, docids_g, vids_g, k)
+    def _chunk(qc):
+        cdist = hamming(qc, centroids_bits).astype(jnp.float32)
+        ids = jnp.broadcast_to(
+            jnp.arange(centroids_bits.shape[0], dtype=jnp.int32)[None, :],
+            cdist.shape)
+        _, list_ids = topk_min(cdist, ids, nprobe)
+        codes_g, vids_g, docids_g, lens_g = _gather_lists(state, list_ids)
+        x = jnp.bitwise_xor(codes_g, qc[:, None, None, :])
+        if w % 4 == 0:
+            # popcount i32 words, not bytes: 4x fewer VPU ops and a 4x
+            # smaller [B, P, cap, *] i32 intermediate
+            x = jax.lax.bitcast_convert_type(
+                x.reshape(*x.shape[:-1], w // 4, 4), jnp.int32)
+        dist = jnp.sum(jax.lax.population_count(x).astype(jnp.int32),
+                       axis=-1).astype(jnp.float32)
+        dist = dist + _candidate_mask_penalty(docids_g, lens_g, cap,
+                                              penalty)
+        dist = jnp.minimum(dist, BIG)
+        return _select_candidates(dist, docids_g, vids_g, k)
+
+    # transient per query: xor/popcount intermediates dominate (u8 + i32)
+    per_q = nprobe * cap * (2 * w + 8)
+    return _batched_exact_scan(query_codes, _chunk, per_q)

@@ -129,3 +129,49 @@ def test_chunkmin_topk_indices_and_containment():
         assert exact <= set(ridx[i].tolist()), (i, exact - set(ridx[i]))
     # and monotone ascending prefix
     assert np.all(np.diff(rd[:, :12], axis=1) >= -1e-6)
+
+
+def test_exact_scan_query_chunking_matches_direct(rng, monkeypatch):
+    """ivfflat_search / binary_ivf_search must return identical results
+    whether the payload gather runs whole-batch or through the
+    lax.map query-chunked path (FLAT_GATHER_BYTES budget — the 13 GB
+    full-batch gather OOM'd one chip at the 200k bench geometry)."""
+    from gamma_tpu.ops import ivf_scan as iv
+    from gamma_tpu.index.ivfflat import IVFFlatIndex
+    from gamma_tpu.index.binary_ivf import BinaryIVFIndex, pack_bits_np
+    from gamma_tpu.vector.raw_store import RawVectorStore
+    from gamma_tpu.config import SearchParams
+
+    n, d, k = 3000, 32, 5
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    q = x[rng.choice(n, 24, replace=False)] + 0.05 * rng.normal(
+        size=(24, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    sp = SearchParams.from_dict({"nprobe": 8})
+    pen = jnp.zeros(n, jnp.float32)
+
+    def build(cls, xx):
+        s = RawVectorStore("chk", d, init_cap=n + 64)
+        s.add(x)
+        s.flush_device()
+        m = cls(s, {"ncentroids": 32, "bucket_init_size": 256})
+        m.train(x)
+        m.add(xx, ids, ids)
+        return m
+
+    for cls, xx, qq in ((IVFFlatIndex, x, jnp.asarray(q)),
+                        (BinaryIVFIndex, x, jnp.asarray(q))):
+        m = build(cls, xx)
+        d0, doc0, vid0 = (np.asarray(t)
+                          for t in m.search(qq, pen, sp, k))
+        # force the chunked path: tiny budget => many lax.map chunks
+        monkeypatch.setattr(iv, "FLAT_GATHER_BYTES", 1 << 12)
+        iv.ivfflat_search.clear_cache()
+        iv.binary_ivf_search.clear_cache()
+        d1, doc1, vid1 = (np.asarray(t)
+                          for t in m.search(qq, pen, sp, k))
+        monkeypatch.undo()
+        iv.ivfflat_search.clear_cache()
+        iv.binary_ivf_search.clear_cache()
+        np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(doc0, doc1)
