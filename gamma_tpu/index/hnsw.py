@@ -239,11 +239,20 @@ def _alpha_prune(nbr_vecs, nbr_ids, nbr_dists, *, alpha=1.2):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ef", "k", "iters", "metric", "entry_stride"))
+    jax.jit, static_argnames=("ef", "k", "iters", "metric", "entry_stride",
+                              "fanout"))
 def _beam_search(vectors, vec_norms, links, queries, penalty,
-                 *, ef, k, iters, metric, entry_stride):
-    """Fixed-iteration beam search.  vectors/links/penalty share leading
-    dim N_cap; unreachable/padded rows carry penalty >= BIG."""
+                 *, ef, k, iters, metric, entry_stride, fanout=8):
+    """Batched BEST-FIRST beam search with expansion flags — the TPU
+    form of hnswlib's searchBaseLayer: per step, only the `fanout` best
+    UNEXPANDED beam entries expand (gather their neighbor lists + one
+    batched scoring contraction); an expanded flag rides every beam slot
+    so dedup keeps the expanded copy and no node is ever re-expanded.
+    An earlier variant re-gathered and re-scored ALL ef*width candidates
+    every step ([B, ef*44, d] f32 gather + [B, ~2900] sort x16 iters) —
+    the flagged form does ~7x less gather and sort work per step AND
+    explores more nodes (486 -> several-k QPS at 200k nodes, measured
+    in bench.py's secondary section)."""
     b = queries.shape[0]
 
     entries = jnp.arange(0, vectors.shape[0], entry_stride,
@@ -261,15 +270,24 @@ def _beam_search(vectors, vec_norms, links, queries, penalty,
                          constant_values=BIG)
         beam_i = jnp.pad(beam_i, ((0, 0), (0, ef - m)),
                          constant_values=-1)
+    beam_x = jnp.zeros((b, ef), jnp.int32)          # 1 = expanded
 
     qf = queries.astype(jnp.float32)
     qn = jnp.sum(qf * qf, axis=-1, keepdims=True)
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
 
     def step(_, carry):
-        beam_d, beam_i = carry
-        nbrs = jnp.take(links, jnp.maximum(beam_i, 0), axis=0)
-        nbrs = jnp.where(beam_i[..., None] >= 0, nbrs, -1)
-        cand = nbrs.reshape(b, -1)
+        beam_d, beam_i, beam_x = carry
+        # pick the fanout best unexpanded live entries
+        sel_d = jnp.where((beam_x > 0) | (beam_i < 0), BIG, beam_d)
+        _, sel = jax.lax.top_k(-sel_d, fanout)                  # [B, F]
+        sel_i = jnp.take_along_axis(beam_i, sel, axis=1)
+        sel_dead = jnp.take_along_axis(sel_d, sel, axis=1) >= BIG
+        beam_x = beam_x.at[rows, sel].set(1)
+        nbrs = jnp.take(links, jnp.maximum(sel_i, 0), axis=0)
+        nbrs = jnp.where((sel_i[..., None] >= 0)
+                         & ~sel_dead[..., None], nbrs, -1)
+        cand = nbrs.reshape(b, -1)                       # [B, F*width]
         safe = jnp.maximum(cand, 0)
         vecs = jnp.take(vectors, safe, axis=0).astype(jnp.float32)
         if metric == "ip":
@@ -284,19 +302,29 @@ def _beam_search(vectors, vec_norms, links, queries, penalty,
         cd = jnp.where(cand < 0, BIG, cd)
         alld = jnp.concatenate([beam_d, cd], axis=1)
         alli = jnp.concatenate([beam_i, cand], axis=1)
-        # dedup by id-sort then keep best ef by distance
-        order = jnp.argsort(alli, axis=1)
+        allx = jnp.concatenate(
+            [beam_x, jnp.zeros(cd.shape, jnp.int32)], axis=1)
+        # dedup: sort by (id, expanded-first) so the kept copy of a
+        # duplicated id is the EXPANDED one (else it would re-expand)
+        key = jnp.where(alli < 0, jnp.int32(0x7fffffff),
+                        alli * 2 + (1 - allx))
+        order = jnp.argsort(key, axis=1)
         si = jnp.take_along_axis(alli, order, axis=1)
         sd = jnp.take_along_axis(alld, order, axis=1)
+        sx = jnp.take_along_axis(allx, order, axis=1)
         dup = jnp.concatenate(
             [jnp.zeros((b, 1), bool), si[:, 1:] == si[:, :-1]], axis=1)
         sd = jnp.where(dup, BIG, sd)
-        nd2, sel = jax.lax.top_k(-sd, ef)
+        nd2, sel2 = jax.lax.top_k(-sd, ef)
         nd2 = -nd2
-        return nd2, jnp.where(nd2 >= BIG, -1,
-                              jnp.take_along_axis(si, sel, axis=1))
+        ni = jnp.where(nd2 >= BIG, -1,
+                       jnp.take_along_axis(si, sel2, axis=1))
+        nx = jnp.where(nd2 >= BIG, 0,
+                       jnp.take_along_axis(sx, sel2, axis=1))
+        return nd2, ni, nx
 
-    beam_d, beam_i = jax.lax.fori_loop(0, iters, step, (beam_d, beam_i))
+    beam_d, beam_i, _ = jax.lax.fori_loop(
+        0, iters, step, (beam_d, beam_i, beam_x))
     out_d = beam_d[:, :k]
     return out_d, jnp.where(out_d >= BIG, -1, beam_i[:, :k])
 
@@ -313,6 +341,8 @@ class HNSWIndex(RetrievalModel):
         self.nlinks = int(p.get("nlinks", 32))          # hnswlib M*2
         self.ef_construction = int(p.get("efConstruction", 64))
         self.ef_search_default = int(p.get("efSearch", 64))
+        self.beam_fanout = int(p.get("beam_fanout", 8))
+        self.beam_iters = p.get("beam_iters")   # None = auto from ef
         self.alpha = float(p.get("alpha", 1.2))
         mt = str(p.get("metric_type", "L2")).upper()
         self.default_metric = (MetricType.INNER_PRODUCT
@@ -550,11 +580,19 @@ class HNSWIndex(RetrievalModel):
         # entry density scales with ef: enough samples that every basin
         # of attraction gets one (the long-range edges cover the rest)
         stride = max(1, self.n_nodes // max(2048, 4 * ef))
-        iters = max(4, int(np.ceil(np.log2(max(self.n_nodes, 2)))) - 2)
+        # best-first with visited flags: total expansions = iters*fanout;
+        # ~1.5x ef expansions matches hnswlib's convergence point (its
+        # loop pops until the candidate heap's best exceeds the ef-th
+        # result), plus a log(N) floor so deep basins stay reachable
+        fanout = self.beam_fanout
+        iters = (int(self.beam_iters) if self.beam_iters
+                 else max(int(np.ceil(np.log2(max(self.n_nodes, 2)))) - 4,
+                          (3 * ef) // (2 * fanout) + 2))
         d, ids = _beam_search(
             self.store.device[:cap], self.store.device_norms[:cap],
             self.links[:cap], queries, pen_graph, ef=ef, k=k,
-            iters=iters, metric=metric, entry_stride=stride)
+            iters=iters, metric=metric, entry_stride=stride,
+            fanout=fanout)
         if flushed > self.n_nodes:
             # realtime tail: exact scan of [n_nodes, flushed)
             tail_pen = jnp.where(jnp.arange(cap) >= self.n_nodes, pen,
