@@ -578,8 +578,15 @@ class HNSWIndex(RetrievalModel):
         # graph rows only; the tail is handled by the flat merge below
         pen_graph = jnp.where(jnp.arange(cap) < self.n_nodes, pen, BIG)
         # entry density scales with ef: enough samples that every basin
-        # of attraction gets one (the long-range edges cover the rest)
-        stride = max(1, self.n_nodes // max(2048, 4 * ef))
+        # of attraction gets one.  This bounds recall: on clustered data
+        # the beam converges inside whatever basins the entries hit, so
+        # recall@10 saturates at ~P(an entry lands in the query's
+        # cluster) — measured 0.8719 at 2048 entries over a 1024-cluster
+        # 200k corpus (1 - e^-2 = 0.865).  The entry phase is one small
+        # MXU matmul (~4 MB of strided rows), negligible next to the
+        # beam's per-step neighbor gathers, so sample densely: 8192
+        # entries puts the miss probability at e^-8 ~ 3e-4.
+        stride = max(1, self.n_nodes // max(8192, 16 * ef))
         # best-first with visited flags: total expansions = iters*fanout;
         # ~1.5x ef expansions matches hnswlib's convergence point (its
         # loop pops until the candidate heap's best exceeds the ef-th

@@ -34,19 +34,26 @@ from gamma_tpu.ops.distances import l2_norms
 
 @jax.jit
 def _device_append(dev: jnp.ndarray, norms: jnp.ndarray,
-                   rows: jnp.ndarray, row_norms: jnp.ndarray,
-                   start: jnp.ndarray):
+                   rows: jnp.ndarray, start: jnp.ndarray):
+    # norms are computed from the rows AS STORED (bf16 mirror): the
+    # norm-expansion distance qn - 2 q.v + ||v||^2 is then the exact
+    # (f32) distance to the quantized point.  Mixing f32-of-host norms
+    # with bf16 rows adds a 2 x.delta cross-term whose noise is ~4x the
+    # consistent form's and flips near-tie rankings (measured: 59/2560
+    # HNSW top-10 misses at the 200k secondary geometry, all of them
+    # scored-but-misranked near-ties).
     dev = jax.lax.dynamic_update_slice(dev, rows, (start, jnp.int32(0)))
+    row_norms = jnp.sum(jnp.square(rows.astype(jnp.float32)), axis=1)
     norms = jax.lax.dynamic_update_slice(norms, row_norms, (start,))
     return dev, norms
 
 
 @jax.jit
 def _device_update_rows(dev: jnp.ndarray, norms: jnp.ndarray,
-                        vids: jnp.ndarray, rows: jnp.ndarray,
-                        row_norms: jnp.ndarray):
+                        vids: jnp.ndarray, rows: jnp.ndarray):
     vids = jnp.where(vids < 0, 0x40000000, vids)   # negatives wrap, not drop
     dev = dev.at[vids].set(rows, mode="drop")
+    row_norms = jnp.sum(jnp.square(rows.astype(jnp.float32)), axis=1)
     norms = norms.at[vids].set(row_norms, mode="drop")
     return dev, norms
 
@@ -277,9 +284,7 @@ class RawVectorStore:
                 rr = rows[flushed_mask].astype(self.device_dtype)
                 self.device, self.device_norms = _device_update_rows(
                     self.device, self.device_norms,
-                    jnp.asarray(vv, jnp.int32), jnp.asarray(rr),
-                    jnp.asarray(np.sum(rows[flushed_mask] ** 2, axis=1),
-                                jnp.float32))
+                    jnp.asarray(vv, jnp.int32), jnp.asarray(rr))
 
     def get(self, vids: np.ndarray) -> np.ndarray:
         return self._host[np.asarray(vids, dtype=np.int64)].astype(
@@ -344,10 +349,8 @@ class RawVectorStore:
             rows_np = np.zeros((padded, self.d), dtype=np.float32)
             rows_np[:count] = self._host[start:end]
             rows = jnp.asarray(rows_np, self.device_dtype)
-            norms = jnp.asarray(np.sum(rows_np ** 2, axis=1), jnp.float32)
             self.device, self.device_norms = _device_append(
-                self.device, self.device_norms, rows, norms,
-                jnp.int32(start))
+                self.device, self.device_norms, rows, jnp.int32(start))
             self._flushed = end
             self.released = False        # mirror is current again
             return count
