@@ -823,6 +823,18 @@ def main():
     # both rates are measured under genuine contention.  gen-2 GC over the
     # corpus+jax heap costs multiple seconds per collection at 1M docs —
     # disable it for the window as a latency-critical server would.
+    #
+    # The query tier is PACED to a serving-rate target (credit-based,
+    # like the ingest pacer): an unthrottled dispatch loop holds a
+    # 16-batch device queue that every ingest chunk sync must drain
+    # behind (~100 ms/chunk) while the device itself sits mostly idle —
+    # the r5 run measured 78k QPS searched / 66k inserts/s both starved
+    # by host churn, not device time.  A deployment rate-limits the
+    # query tier the same way; 30k QPS is 3x the reference's whole
+    # gamma-on-CPU envelope.
+    conc_qps_target = float(os.environ.get("GAMMA_BENCH_CONC_QPS",
+                                           30_000))
+    batch_period = batch / conc_qps_target
     gc.disable()
     start.wait()
     cnt, t0 = 0, time.time()
@@ -831,9 +843,12 @@ def main():
     while th.is_alive():
         out = run(qb)
         cnt += 1
-        if cnt % 16 == 0:           # bound the dispatch queue depth
+        if cnt % 4 == 0:            # bound the dispatch queue depth
             _ = np.asarray(jax.tree.leaves(out)[0][:1])
             sync_pts.append((time.time(), (cnt + 1) * batch))
+        lag = (t0 + cnt * batch_period) - time.time()
+        if lag > 0:
+            time.sleep(lag)
     _ = np.asarray(jax.tree.leaves(out)[0][:1])
     sync_pts.append((time.time(), (cnt + 1) * batch))
     qps_during = (cnt + 1) * batch / (time.time() - t0)
