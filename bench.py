@@ -1047,10 +1047,16 @@ def main():
                 e_ = min(n2, s_ + add_chunk)
                 isc.add(s2.device_rows(s_, e_), ids2[s_:e_], ids2[s_:e_])
             jax.block_until_ready(isc.state.lens)
+            # recall_num=256: AVQ optimizes quantized IP for HIGH-score
+            # points, so true top-10 items sit deeper in the ADC
+            # ordering than under reconstruction-MSE codes; the rn sweep
+            # (rn 100/256/512 -> 0.9754/0.9906/0.9945 recall@10 at
+            # 258k/170k/70k QPS) picks the knee that clears the
+            # reference's Vearch 0.9902 (benchs/README.md)
             sec_measure("scann", isc, jnp.zeros(n2, jnp.float32),
                         SearchParams.from_dict(
-                            {"scan_mode": "dense", "recall_num":
-                             recall_num, "has_rank": True}),
+                            {"scan_mode": "dense", "recall_num": 256,
+                             "has_rank": True}),
                         gt_ip, vn=n2)
         except Exception as exc:
             log(f"secondary scann failed: {exc!r}")
