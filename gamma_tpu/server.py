@@ -239,3 +239,26 @@ class GammaClient:
             self._call(OP_CLOSE)
         finally:
             self._sock.close()
+
+
+def _main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Serve the gamma-tpu engine over the frame protocol")
+    ap.add_argument("--listen", default="127.0.0.1:7070",
+                    help="host:port for TCP, or a filesystem path for a "
+                         "unix socket")
+    args = ap.parse_args()
+    addr = args.listen
+    if ":" in addr and not addr.startswith("/"):
+        host, _, port = addr.rpartition(":")
+        address = (host, int(port))
+    else:
+        address = addr
+    get_logger().info("serving on %s", addr)
+    serve(address, background=False)
+
+
+if __name__ == "__main__":
+    _main()
