@@ -25,6 +25,7 @@ from gamma_tpu.ops.flat_scan import flat_search
 from gamma_tpu.realtime import invert_index as rt
 from gamma_tpu.vector.raw_store import RawVectorStore
 from gamma_tpu.index.ivfpq import _assign_chunked, TRAIN_MAX_PER_LIST
+from gamma_tpu.utils.growth import grow_rows, ladder_256
 
 
 @jax.jit
@@ -49,6 +50,7 @@ class IVFFlatIndex(RetrievalModel):
         init_cap = max(64, self.p.bucket_init_size)
         self.state = rt.init_state(self.p.ncentroids, init_cap, self.d * 2)
         self.placer = rt.HostPlacer(self.p.ncentroids, init_cap)
+        self._max_len = 0          # live list-length watermark (host)
 
     def trained(self) -> bool:
         return self._trained
@@ -75,11 +77,10 @@ class IVFFlatIndex(RetrievalModel):
         codes = _to_bf16_bytes(xd)
         need = self.placer.required_cap(list_ids)
         if need > self.state.cap:
-            new_cap = self.state.cap
-            while new_cap < need:
-                new_cap *= 2
+            new_cap = grow_rows(self.state.cap, need, quantum=1024)
             self.state = rt.grow(self.state, new_cap)
             self.placer.cap = new_cap
+        self._max_len = max(self._max_len, need)
         positions, new_lens = self.placer.place(list_ids, vids)
         self.state = rt.append(
             self.state, jnp.asarray(list_ids, jnp.int32),
@@ -107,9 +108,11 @@ class IVFFlatIndex(RetrievalModel):
         if self.placer.deleted_fraction() < threshold:
             return
         self.state = rt.compact_state(self.state)
+        lens_np = np.asarray(self.state.lens)
+        self._max_len = int(lens_np.max(initial=0))
         self.placer.resync_after_compact(
             np.asarray(self.state.docids), np.asarray(self.state.vids),
-            np.asarray(self.state.lens))
+            lens_np)
 
     def search(self, queries, penalty, sp: SearchParams, k: int,
                dist_range=None, validity_n=None):
@@ -121,9 +124,13 @@ class IVFFlatIndex(RetrievalModel):
             return d, rows, rows
         nprobe = min(sp.nprobe or max(1, self.p.ncentroids // 16),
                      self.p.ncentroids)
+        scan_impl = ("pallas" if jax.default_backend() == "tpu"
+                     else "xla")
         return ivf_scan.ivfflat_search(
             self.state, self.centroids, self.cent_norms, queries, penalty,
-            dist_range, nprobe=nprobe, k=k, d=self.d, metric=metric)
+            dist_range, nprobe=nprobe, k=k, d=self.d, metric=metric,
+            scan_impl=scan_impl,
+            cap_eff=ladder_256(max(self._max_len, 1), self.state.cap))
 
     def dump(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -153,6 +160,7 @@ class IVFFlatIndex(RetrievalModel):
             jnp.asarray(z["docids"]), jnp.asarray(z["lens"]))
         self.placer = rt.HostPlacer(self.state.nlist, self.state.cap)
         self.placer.resync_after_compact(z["docids"], z["vids"], z["lens"])
+        self._max_len = int(np.asarray(z["lens"]).max(initial=0))
         self.indexed_count = int(z["indexed_count"])
         self._trained = True
         return self.indexed_count

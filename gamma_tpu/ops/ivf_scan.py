@@ -659,11 +659,28 @@ def _batched_exact_scan(queries, chunk_fn, per_query_bytes):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "k", "metric", "d"))
+    jax.jit, static_argnames=("nprobe", "k", "metric", "d", "scan_impl",
+                              "cap_eff"))
 def ivfflat_search(state: IVFState, centroids, cent_norms, queries,
                    penalty, dist_range=None, *, nprobe: int, k: int,
-                   d: int, metric: str = "l2"):
-    """Exact-distance IVF scan: posting payload = bf16 vector bytes."""
+                   d: int, metric: str = "l2", scan_impl: str = "xla",
+                   cap_eff: int = 0):
+    """Exact-distance IVF scan: posting payload = bf16 vector bytes.
+
+    scan_impl="pallas" routes through the grouped row kernel
+    (ops/pallas_gsq.py with raw bf16 rows instead of SQ8 codes):
+    queries probing the same list share one row-tile DMA, so each
+    probed list's payload is read ONCE per batch instead of once per
+    query — the per-query gather path reads B*P*cap*2d bytes per batch
+    (13 GB at the 200k bench geometry) where the grouped kernel reads
+    ~nlist*cap*2d (one corpus pass, 50 MB).  Distances stay exact to
+    the stored bf16 rows (bf16 matmul, f32 accumulate — the dense
+    mirror's precision class)."""
+    if scan_impl == "pallas":
+        return _ivfflat_grouped(state, centroids, cent_norms, queries,
+                                penalty, dist_range, nprobe=nprobe, k=k,
+                                d=d, metric=metric, cap_eff=cap_eff)
+    state = _trim_state(state, cap_eff)
     cap, w = state.codes.shape[1], state.codes.shape[2]
 
     def _chunk(qc):
@@ -692,6 +709,44 @@ def ivfflat_search(state: IVFState, centroids, cent_norms, queries,
     # gather transient per query: codes bytes + the f32 vecs expansion
     per_q = nprobe * cap * (w + 4 * d)
     return _batched_exact_scan(queries, _chunk, per_q)
+
+
+def _ivfflat_grouped(state: IVFState, centroids, cent_norms, queries,
+                     penalty, dist_range, *, nprobe: int, k: int, d: int,
+                     metric: str, cap_eff: int):
+    """Grouped-MXU IVFFlat scan: bitcast the byte payload back to bf16
+    rows ONCE per call (a corpus-sized pass that amortizes over the
+    batch) and run the pallas_gsq row kernel with scale/off=None.
+    Row norms are reduced from the same bf16 rows, so L2 distances are
+    exact to the stored payload (the XLA path's contract)."""
+    state = _trim_state(state, cap_eff)
+    nlist, cap = state.codes.shape[0], state.codes.shape[1]
+    rows = jax.lax.bitcast_convert_type(
+        state.codes.reshape(nlist, cap, d, 2), jnp.bfloat16
+    ).reshape(nlist, cap, d)
+    if d % 128:
+        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, 128 - d % 128)))
+    norms = (jnp.sum(rows.astype(jnp.float32) ** 2, axis=-1)
+             if metric != "ip" else
+             jnp.zeros((nlist, cap), jnp.float32))
+
+    cd, list_ids = coarse_assign(queries, centroids, cent_norms,
+                                 nprobe, metric)
+    bias_l = list_bias(state.docids, state.lens, cap, penalty=penalty)
+    fuse_bias = dist_range is None
+    from gamma_tpu.ops.pallas_gsq import grouped_sq_scan
+    raw_dist = grouped_sq_scan(rows, norms, state.lens, list_ids,
+                               queries, None, None, metric=metric,
+                               bias=bias_l if fuse_bias else None)
+    if fuse_bias:
+        dist = raw_dist
+    else:
+        dist = raw_dist + jnp.take(bias_l, list_ids, axis=0)
+        dist = jnp.where((raw_dist < dist_range[0])
+                         | (raw_dist > dist_range[1]), BIG, dist)
+    dist = jnp.minimum(dist, BIG)
+    return _select_late(dist, list_ids, state.docids, state.vids,
+                        cap, k, exact=True)
 
 
 # ---------------------------------------------------------------------

@@ -93,6 +93,17 @@ def encode_sq(x: jnp.ndarray, scale: jnp.ndarray, off: jnp.ndarray,
     return codes, norms
 
 
+def _rows_as(c: jnp.ndarray, precise: bool) -> jnp.ndarray:
+    """Row tile → the matmul operand dtype.  u8 SQ codes go through i32
+    (Mosaic has no direct u8→float cast; codes ≤ 255 are exact either
+    way); bf16 payload rows (the IVFFlat grouped path) are used as-is
+    unless precise demands f32."""
+    ct = jnp.float32 if precise else jnp.bfloat16
+    if c.dtype == jnp.uint8:
+        c = c.astype(jnp.int32)
+    return c.astype(ct)
+
+
 def _gsq_kernel(glist_ref, ntiles_ref,           # scalar prefetch
                 codes_ref,                       # [1, TILE, d] u8
                 nrm_ref,                         # [1, 1, TILE] f32
@@ -106,10 +117,7 @@ def _gsq_kernel(glist_ref, ntiles_ref,           # scalar prefetch
 
     @pl.when(t < nt)
     def _scan():
-        # u8 → i32 → bf16/f32: Mosaic has no direct u8→float cast; codes
-        # ≤ 255 are exact either way
-        ct = jnp.float32 if precise else jnp.bfloat16
-        c = codes_ref[0].astype(jnp.int32).astype(ct)    # [TILE, d]
+        c = _rows_as(codes_ref[0], precise)              # [TILE, d]
         ip = jax.lax.dot_general(
             qs_ref[0], c,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -154,8 +162,7 @@ def _gsq_fold_kernel(glist_ref, ntiles_ref,      # scalar prefetch
 
     @pl.when(t < nt)
     def _scan():
-        ct = jnp.float32 if precise else jnp.bfloat16
-        c = codes_ref[0].astype(jnp.int32).astype(ct)    # [TILE, d]
+        c = _rows_as(codes_ref[0], precise)              # [TILE, d]
         ip = jax.lax.dot_general(
             qs_ref[0], c,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -260,13 +267,13 @@ def _gsq_call(codes, norms3, glist, ntiles, qs, *, q_pad: int, tile: int,
     )(glist, ntiles, codes, norms3, qs)
 
 
-def grouped_sq_scan(codes: jnp.ndarray,     # [nlist, cap, d_pad] u8
+def grouped_sq_scan(codes: jnp.ndarray,     # [nlist, cap, d_pad] u8|bf16
                     norms: jnp.ndarray,     # [nlist, cap] f32
                     lens: jnp.ndarray,      # [nlist] i32
                     list_ids: jnp.ndarray,  # [B, P] i32
                     queries: jnp.ndarray,   # [B, d] (pre-rotated if OPQ)
-                    scale: jnp.ndarray,     # [d] f32
-                    off: jnp.ndarray,       # [d] f32
+                    scale: Optional[jnp.ndarray],  # [d] f32; None = raw rows
+                    off: Optional[jnp.ndarray],    # [d] f32; None = raw rows
                     centroids: Optional[jnp.ndarray] = None,  # [nlist,d]
                     *, metric: str = "l2",
                     bias: Optional[jnp.ndarray] = None,  # [nlist, cap] f32
@@ -315,9 +322,14 @@ def grouped_sq_scan(codes: jnp.ndarray,     # [nlist, cap, d_pad] u8
         list_ids, lens, q_pad=q_pad, tile=min(tile, cap), g_pad=g_pad)
 
     qf = queries.astype(jnp.float32)
-    qs_full = qf * scale[None, :]                        # [B, d]
-    # q.x = (q*scale).c + q.off ; the q.off part is a per-query constant
-    qoff = qf @ off.astype(jnp.float32)                  # [B]
+    if scale is None:
+        # raw-row payload (bf16 IVFFlat rows): q.x is the matmul alone
+        qs_full = qf                                     # [B, d]
+        qoff = jnp.zeros(qf.shape[0], jnp.float32)
+    else:
+        qs_full = qf * scale[None, :]                    # [B, d]
+        # q.x = (q*scale).c + q.off ; q.off is a per-query constant
+        qoff = qf @ off.astype(jnp.float32)              # [B]
     if d != d_pad:
         qs_full = jnp.pad(qs_full, ((0, 0), (0, d_pad - d)))
     qidx = jnp.maximum(gpair, 0) // p                    # [G, Q]

@@ -15,3 +15,15 @@ def grow_rows(cur: int, need: int, quantum: int = 8192) -> int:
         return cur
     step = max(quantum, cur // 4)
     return -(-need // step) * step
+
+
+def ladder_256(need: int, cap: int) -> int:
+    """Geometric (~25%) ladder step covering `need` slots, quantized to
+    256 and clipped to `cap` — the static scan-width watermark used by
+    the posting-scan kernels (each distinct step = one compile; 25%
+    steps bound both the dead-slot overshoot and the shape count,
+    ~18 steps to 16k).  Mirrors IVFPQIndex._sq_ladder."""
+    ce = 256
+    while ce < need:
+        ce = max(ce + 256, -(-int(ce * 1.25) // 256) * 256)
+    return min(ce, cap)

@@ -8,6 +8,7 @@ query and the DEQUANTIZED point, for every in-length slot of every
 probed list, for both the residual and non-residual codings.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -253,3 +254,84 @@ def test_ivfsq_fold_path_matches_unfolded(rng):
     agree = np.mean([len(set(got[i]) & set(doc_x[i].tolist())) / 5
                      for i in range(b)])
     assert agree >= 0.8, (agree, got, doc_x)
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_grouped_raw_rows_parity(rng, metric):
+    """scale/off=None: the kernel scans raw bf16 payload rows (the
+    IVFFlat grouped path) — distances must be exact to the stored bf16
+    rows within bf16-matmul tolerance."""
+    nlist, cap, d = 8, 32, 16
+    rows_f32 = rng.normal(size=(nlist, cap, d)).astype(np.float32)
+    rows = jnp.asarray(rows_f32).astype(jnp.bfloat16)
+    rows_np = np.asarray(rows, np.float32)        # the stored payload
+    lens = rng.integers(1, cap + 1, size=nlist).astype(np.int32)
+    norms = (rows_np ** 2).sum(-1).astype(np.float32)
+    b, p = 6, 3
+    queries = rng.normal(size=(b, d)).astype(np.float32)
+    list_ids = rng.integers(0, nlist, size=(b, p)).astype(np.int32)
+    got = grouped_sq_scan(
+        rows, jnp.asarray(norms), jnp.asarray(lens),
+        jnp.asarray(list_ids), jnp.asarray(queries), None, None,
+        metric=metric, q_pad=8, tile=16, interpret=True)
+    ref = _oracle(rows_np, list_ids, queries, metric)
+    _mask_compare(got, ref, lens, list_ids)
+
+
+def test_ivfflat_grouped_matches_xla():
+    """End-to-end: ivfflat_search scan_impl='pallas' (interpret) returns
+    the same top-k sets as the XLA gather path at a small geometry.
+    Local rng: near-tie top-k comparisons are draw-sensitive (see
+    conftest rng invariant)."""
+    from unittest import mock
+
+    import functools as _ft
+
+    from gamma_tpu.ops import ivf_scan
+    from gamma_tpu.ops.pallas_gsq import grouped_sq_scan as _gss
+    from gamma_tpu.realtime import invert_index as rt
+
+    rng = np.random.default_rng(7)
+    nlist, cap, d, n = 16, 24, 32, 300
+    rows = rng.normal(size=(n, d)).astype(np.float32)
+    cents = rng.normal(size=(nlist, d)).astype(np.float32) * 2.0
+    la = np.argmin(((rows[:, None, :] - cents[None]) ** 2).sum(-1), axis=1)
+    codes = np.zeros((nlist, cap, d * 2), np.uint8)
+    vids = np.full((nlist, cap), -1, np.int32)
+    lens = np.zeros(nlist, np.int32)
+    for i in range(n):
+        l = la[i]
+        if lens[l] >= cap:
+            continue
+        bf = jnp.asarray(rows[i]).astype(jnp.bfloat16)
+        codes[l, lens[l]] = np.asarray(
+            jax.lax.bitcast_convert_type(bf, jnp.uint8)).reshape(-1)
+        vids[l, lens[l]] = i
+        lens[l] += 1
+    state = rt.IVFState(jnp.asarray(codes), jnp.asarray(vids),
+                        jnp.asarray(vids), jnp.asarray(lens))
+    cn = jnp.sum(jnp.asarray(cents) ** 2, -1)
+    q = jnp.asarray(rows[rng.integers(0, n, size=5)]
+                    + 0.05 * rng.normal(size=(5, d)).astype(np.float32))
+    pen = jnp.zeros(n + 8, jnp.float32)
+    kw = dict(nprobe=6, k=8, d=d, metric="l2")
+    dx, docx, _ = ivf_scan.ivfflat_search(state, jnp.asarray(cents), cn,
+                                          q, pen, scan_impl="xla", **kw)
+    with mock.patch("gamma_tpu.ops.pallas_gsq.grouped_sq_scan",
+                    _ft.partial(_gss, interpret=True)):
+        dp, docp, _ = ivf_scan.ivfflat_search(
+            state, jnp.asarray(cents), cn, q, pen,
+            scan_impl="pallas", **kw)
+    for i in range(5):
+        sx = set(np.asarray(docx[i]).tolist())
+        sp = set(np.asarray(docp[i]).tolist())
+        assert len(sx & sp) >= 7, (i, sx, sp)    # bf16 near-ties may flip 1
+    # magnitude-aware distance compare: the pallas path's bf16 QUERY
+    # cast blurs near-zero distances by ~|q||x|*2^-9 absolute (the
+    # dense-mirror precision class), so the floor is the median |ref|,
+    # not zero — same policy as _mask_compare above
+    got = np.sort(np.asarray(dp, np.float64), axis=1)
+    ref = np.sort(np.asarray(dx, np.float64), axis=1)
+    floor = max(float(np.median(np.abs(ref))), 1e-6)
+    scaled = np.abs(got - ref) / np.maximum(np.abs(ref), floor)
+    assert float(scaled.max()) < 3e-2, float(scaled.max())

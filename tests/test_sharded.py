@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from conftest import make_blobs
+
 from gamma_tpu.index.ivfpq import IVFPQIndex
 from gamma_tpu.ops import ivf_scan
 from gamma_tpu.ops.distances import BIG, pairwise_l2
@@ -127,7 +129,12 @@ def test_sharded_flat_exact(corpus_small, rng):
     assert (np.sort(sid, 1) == np.sort(oid, 1)).mean() > 0.99
 
 
-def test_sharded_kmeans_matches_single(corpus_small):
+def test_sharded_kmeans_matches_single():
+    # local corpus draw: the 5% objective bar is sensitive to k-means
+    # local minima, which depend on the exact draw — the session rng
+    # makes this order-flaky under `pytest -k` subsets (conftest
+    # invariant)
+    corpus_small = make_blobs(np.random.default_rng(11), 2000, 32)
     k = 16
     init = corpus_small[:k]
     mesh = build_mesh(n_list_shards=4, n_query_shards=2)
@@ -135,15 +142,18 @@ def test_sharded_kmeans_matches_single(corpus_small):
                                        iters=8)
     cents = np.asarray(cents)
     assert np.asarray(counts).sum() == corpus_small.shape[0]
-    # objective should be near the single-device k-means objective
+    # sharded = plain data-parallel Lloyd; compare against the
+    # single-device Lloyd WITHOUT the split-biggest rebalance rounds
+    # (same algorithm, same init → objectives must agree tightly; the
+    # rebalancing variant finds different local minima on some draws)
     from gamma_tpu.ops import kmeans as km
     ref_c, _ = km.kmeans_fit(jnp.asarray(corpus_small), jnp.asarray(init),
-                             k=k, iters=8)
+                             k=k, iters=8, rebalance=0)
     def obj(c):
         d = np.asarray(pairwise_l2(jnp.asarray(corpus_small),
                                    jnp.asarray(c)))
         return d.min(axis=1).mean()
-    assert obj(cents) <= obj(np.asarray(ref_c)) * 1.05
+    assert obj(cents) <= obj(np.asarray(ref_c)) * 1.01
 
 
 def test_engine_sharded_search(tmp_path, rng):
